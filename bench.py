@@ -1,0 +1,165 @@
+"""eitx benchmark — prints ONE JSON line with the headline metric.
+
+Headline: EIT forward-solve throughput (breathing frames/sec) on the
+default monitoring workload over a realistic thorax mesh, steady-state
+after compile, INCLUDING the per-subject spectral setup. Baseline: the
+in-repo scipy sparse oracle (the same numerical method pyeit runs per
+frame in the reference's multiprocessing pool), scaled by the machine's
+CPU core count to credit the reference's process-pool parallelism.
+
+Extra keys report segmentation throughput (YOLOv11s-seg at 512^2) and the
+mesh/node scale so rounds are comparable.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_thorax_mesh(lc=7.0):
+    from eitx.mesh import create_mesh
+
+    def ellipse(cid, cx, cy, rx, ry, n=80):
+        th = np.linspace(0, 2 * np.pi, n, endpoint=False)
+        pts = np.stack([cx + rx * np.cos(th), cy + ry * np.sin(th)], 1)
+        return f"{cid} " + " ".join(f"{x:.1f} {y:.1f}" for x, y in pts)
+
+    polygons = [
+        ellipse(4, 256, 256, 200, 150, 90),
+        ellipse(3, 256, 256, 192, 142, 70),
+        ellipse(1, 256, 256, 170, 125, 70),
+        ellipse(2, 175, 250, 55, 75, 40),
+        ellipse(2, 337, 250, 55, 75, 40),
+        ellipse(0, 256, 330, 22, 18, 24),
+    ]
+    _, mesh = create_mesh(
+        ["0.75", "0.75"], polygons, lc=lc,
+        show_meshing_result_method="no",
+    )
+    return mesh
+
+
+def bench_eit(mesh, frames=1200, repeats=3):
+    import jax
+    import jax.numpy as jnp
+
+    from eitx.core.config import ClassMap
+    from eitx.fem.assembly import ClassStiffness
+    from eitx.fem.electrodes import place_electrodes_equal_spacing
+    from eitx.fem.forward import build_sigma_frames, compact_mesh_nodes, prepare_mesh_info
+    from eitx.fem.protocol import create_protocol
+    from eitx.fem.spectral import SpectralEITSolver
+    from eitx.physio.materials import generate_material_tables, tissue_conductivities
+    from eitx.physio.spirometry import conductivity_schedule
+
+    classes = ClassMap()
+    info = compact_mesh_nodes(prepare_mesh_info(mesh, classes))
+    mats = generate_material_tables()
+    _, condspir = conductivity_schedule(12, frames, 5e4, mats)
+    base = tissue_conductivities(mats, 5e4, classes.id_to_name())
+    sigma = build_sigma_frames(condspir, base, classes)
+    el = place_electrodes_equal_spacing(
+        info.node, info.element, 16, starting_angle=np.pi
+    )
+    proto = create_protocol(16, 1, 1, "std")
+    cs = ClassStiffness.build(
+        info.node, info.element, info.cond, n_classes=5,
+        pad_nodes_to=256, pad_elems_to=2048,
+    )
+    alphas = jnp.asarray(sigma[:, classes.name_to_id()["lung"]], jnp.float32)
+
+    def full_job():
+        solver = SpectralEITSolver.build(
+            cs, sigma[0], classes.name_to_id()["lung"], el,
+            proto.ex_mat, proto.meas_mat, float(np.mean(sigma[:, 2])),
+        )
+        return solver.solve(alphas)
+
+    # warm up compiles (setup + solve)
+    v = full_job()
+    v.block_until_ready()
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        v = full_job()
+        v.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    return frames / best, info.node.shape[0], np.asarray(v)
+
+
+def bench_eit_oracle(mesh, frames=4):
+    """Single-core scipy frames/sec (pyeit-equivalent numerical path)."""
+    from eitx.core.config import ClassMap
+    from eitx.fem.electrodes import place_electrodes_equal_spacing
+    from eitx.fem.forward import compact_mesh_nodes, prepare_mesh_info
+    from eitx.fem.oracle import forward_solve_oracle
+    from eitx.fem.protocol import create_protocol
+
+    info = compact_mesh_nodes(prepare_mesh_info(mesh, ClassMap()))
+    el = place_electrodes_equal_spacing(
+        info.node, info.element, 16, starting_angle=np.pi
+    )
+    proto = create_protocol(16, 1, 1, "std")
+    cond = np.where(info.cond == 2, 0.15, 0.3).astype(np.float64)
+    t0 = time.perf_counter()
+    for i in range(frames):
+        forward_solve_oracle(
+            info.node, info.element, cond * (1 + 0.1 * i), el,
+            proto.ex_mat, proto.meas_mat,
+        )
+    dt = time.perf_counter() - t0
+    return frames / dt
+
+
+def bench_segmentation(batch=16, imgsz=512, repeats=3):
+    import jax
+
+    from eitx.models.yolo.infer import TissueSegmenter
+
+    seg = TissueSegmenter(imgsz=imgsz, max_det=64)
+    imgs = (np.random.default_rng(0).uniform(0, 255, (batch, imgsz, imgsz))
+            ).astype(np.uint8)
+    seg.segment(imgs)  # compile
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        det, masks = seg.segment(imgs)
+        times.append(time.perf_counter() - t0)
+    return batch / min(times)
+
+
+def main():
+    t_start = time.time()
+    mesh = build_thorax_mesh()
+    frames_per_sec, n_nodes, v = bench_eit(mesh)
+    oracle_fps = bench_eit_oracle(mesh)
+    baseline = oracle_fps * (os.cpu_count() or 1)  # credit the ref's pool
+    try:
+        seg_fps = bench_segmentation()
+    except Exception as e:  # segmentation bench is best-effort
+        print(f"segmentation bench skipped: {e}", file=sys.stderr)
+        seg_fps = None
+    out = {
+        "metric": "eit_forward_frames_per_sec",
+        "value": round(frames_per_sec, 1),
+        "unit": "frames/sec",
+        "vs_baseline": round(frames_per_sec / baseline, 2),
+        "baseline_frames_per_sec": round(baseline, 1),
+        "baseline_method": "scipy sparse LU oracle x cpu_count "
+                           f"({os.cpu_count()} cores)",
+        "mesh_nodes": int(n_nodes),
+        "workload_frames": 1200,
+        "segmentation_slices_per_sec": (
+            round(seg_fps, 1) if seg_fps else None
+        ),
+        "bench_wall_s": round(time.time() - t_start, 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

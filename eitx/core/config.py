@@ -122,6 +122,10 @@ class SimulationConfig:
     # so one compiled solver serves every subject mesh in a bucket.
     pad_nodes_to: int = 256
     pad_elems_to: int = 2048
+    # Solver: 'spectral' factors the lung-conductivity pencil once and
+    # solves every breathing frame in O(N*E); 'cholesky' batch-factorizes
+    # per frame; 'cg' is the matrix-free fallback for very large meshes.
+    solver: str = "spectral"
 
 
 @dataclass(frozen=True)

@@ -179,13 +179,39 @@ def simulate_eit_monitoring(
         pad_nodes_to=cfg.pad_nodes_to,
         pad_elems_to=cfg.pad_elems_to,
     )
-    v = forward_solve_batched(
-        cs,
-        jnp.asarray(sigma, dtype=dtype),
-        jnp.asarray(el_pos),
-        jnp.asarray(proto.ex_mat),
-        jnp.asarray(proto.meas_mat),
-    )
+    if cfg.solver == "spectral":
+        from .spectral import SpectralEITSolver
+
+        lung_col = classes.name_to_id()["lung"]
+        alphas = sigma[:, lung_col]
+        solver = SpectralEITSolver.build(
+            cs,
+            sigma[0],
+            lung_class=lung_col,
+            el_pos=el_pos,
+            ex_mat=proto.ex_mat,
+            meas_mat=proto.meas_mat,
+            alpha0=float(alphas.mean()),
+        )
+        v = solver.solve(alphas)
+    elif cfg.solver == "cg":
+        from .solver import forward_solve_cg
+
+        v = forward_solve_cg(
+            cs,
+            jnp.asarray(sigma, dtype=dtype),
+            jnp.asarray(el_pos),
+            jnp.asarray(proto.ex_mat),
+            jnp.asarray(proto.meas_mat),
+        )
+    else:
+        v = forward_solve_batched(
+            cs,
+            jnp.asarray(sigma, dtype=dtype),
+            jnp.asarray(el_pos),
+            jnp.asarray(proto.ex_mat),
+            jnp.asarray(proto.meas_mat),
+        )
     v = np.asarray(v).reshape(cfg.n_points, -1)
     if save_to_file and filename is not None:
         write_dat(filename, v, n_repeats=cfg.n_spir * cfg.n_minutes)

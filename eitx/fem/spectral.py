@@ -1,0 +1,119 @@
+"""Spectral (rank-structured) EIT monitoring solver.
+
+Breathing only modulates the lung conductivity (reference
+process_EIT_projection, synthetic_datasets_generator.py:242-258), so every
+frame's system matrix is a one-parameter pencil
+
+    K(a) = K_base + (a - a0) * K_lung .
+
+Factor once:  K_base = L L^T,  B = L^-1 K_lung L^-T = Q diag(lam) Q^T, then
+
+    K(a)^-1 b = L^-T Q diag(1 / (1 + (a - a0) lam)) Q^T L^-1 b .
+
+With the injection block Y0 = Q^T L^-1 B_rhs and the electrode readout
+Z = (L^-T Q)[el_pos] both precomputed, a frame costs one (N,) rescale and
+one (E x N) @ (N x n_exc) matmul — about 1e6 FLOPs instead of an O(N^3)
+factorization. A breathing run of any length amortizes one eigh.
+
+Setup cost: one Cholesky + two triangular solves + one symmetric eigh
+(O(N^3), on the MXU). Accuracy is validated against the direct batched
+Cholesky path in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .assembly import ClassStiffness
+from .solver import _measure, _rhs_matrix
+
+
+@dataclass
+class SpectralEITSolver:
+    lam: jnp.ndarray  # (N,) eigenvalues of the pencil
+    y0: jnp.ndarray  # (N, n_exc) transformed injection block
+    z: jnp.ndarray  # (E, N) electrode readout rows
+    alpha0: float
+    meas_mat: jnp.ndarray
+
+    @classmethod
+    def build(
+        cls,
+        cs: ClassStiffness,
+        sigma_base: np.ndarray,  # (C,) per-class conductivities
+        lung_class: int,
+        el_pos,
+        ex_mat,
+        meas_mat,
+        alpha0: float,
+    ) -> "SpectralEITSolver":
+        lam, y0, z = _spectral_setup(
+            cs.k_class,
+            cs.diag_fix,
+            cs.ref_node,
+            jnp.asarray(sigma_base, cs.k_class.dtype),
+            lung_class,
+            jnp.asarray(el_pos),
+            jnp.asarray(ex_mat),
+            jnp.float32(alpha0).astype(cs.k_class.dtype),
+        )
+        return cls(
+            lam=lam, y0=y0, z=z, alpha0=float(alpha0),
+            meas_mat=jnp.asarray(meas_mat),
+        )
+
+    def solve(self, lung_alphas) -> jnp.ndarray:
+        """(T,) lung conductivities -> (T, n_exc, n_meas) voltages."""
+        return _spectral_solve(
+            self.lam, self.y0, self.z,
+            jnp.asarray(lung_alphas, self.lam.dtype),
+            jnp.asarray(self.alpha0, self.lam.dtype),
+            self.meas_mat,
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("lung_class", "ref_node"))
+def _spectral_setup(
+    k_class, diag_fix, ref_node, sigma_base, lung_class, el_pos, ex_mat, alpha0
+):
+    with jax.default_matmul_precision("highest"):
+        n = k_class.shape[-1]
+        sig = sigma_base.at[lung_class].set(alpha0)
+        K_base = jnp.tensordot(
+            sig, k_class, axes=([0], [0]),
+            precision=jax.lax.Precision.HIGHEST,
+        ) + jnp.diag(diag_fix)
+        Kl = k_class[lung_class]
+        L = jnp.linalg.cholesky(K_base)
+        # B = L^-1 Kl L^-T  (two triangular solves)
+        X = jax.scipy.linalg.solve_triangular(L, Kl, lower=True)
+        B = jax.scipy.linalg.solve_triangular(L, X.T, lower=True).T
+        B = 0.5 * (B + B.T)
+        lam, Q = jnp.linalg.eigh(B)
+        Brhs = _rhs_matrix(el_pos, ex_mat, n, k_class.dtype)
+        Brhs = Brhs.at[ref_node, :].set(0.0)
+        y0 = Q.T @ jax.scipy.linalg.solve_triangular(L, Brhs, lower=True)
+        # Z = (L^-T Q)[el_pos] : solve L^T W = Q, take electrode rows
+        W = jax.scipy.linalg.solve_triangular(L.T, Q, lower=False)
+        z = W[el_pos, :]
+        return lam, y0, z
+
+
+@jax.jit
+def _spectral_solve(lam, y0, z, alphas, alpha0, meas_mat):
+    with jax.default_matmul_precision("highest"):
+        denom = 1.0 + (alphas[:, None] - alpha0) * lam[None, :]  # (T, N)
+        w = y0[None] / denom[:, :, None]  # (T, N, n_exc)
+        u_el = jnp.einsum(
+            "en,tnx->tex", z, w, precision=jax.lax.Precision.HIGHEST
+        )  # (T, E, n_exc)
+
+        def meas_one(u):
+            return _measure(u, meas_mat)
+
+        return jax.vmap(meas_one)(u_el)

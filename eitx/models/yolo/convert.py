@@ -1,0 +1,225 @@
+"""Ultralytics ``.pt`` checkpoint -> flax parameter tree.
+
+The reference loads three released YOLOv11s checkpoints through the
+ultralytics runtime (ai_tools.py:69-71, kt_service_config.py:1-3). Here
+the torch pickle is read WITHOUT ultralytics installed: a permissive
+unpickler substitutes stub classes for unknown modules, then the
+nn.Module object graph is walked via ``_parameters``/``_buffers``/
+``_modules`` to recover the state dict. Names map mechanically onto the
+flax tree (model.py keeps the layer indices), with layout transposes
+OIHW -> HWIO for convs and (I, O, kh, kw) -> (kh, kw, O, I) for the proto
+deconvolution.
+"""
+
+from __future__ import annotations
+
+import io
+import pickle
+from typing import Dict, Tuple
+
+import numpy as np
+
+from ...core.errors import ModelError
+
+
+class _Stub:
+    def __init__(self, *a, **k):
+        pass
+
+    def __setstate__(self, state):
+        if isinstance(state, dict):
+            self.__dict__.update(state)
+        else:
+            self.__dict__["_state"] = state
+
+
+class _PermissiveUnpickler(pickle.Unpickler):
+    _SAFE_PREFIXES = ("torch", "collections", "numpy", "builtins", "copyreg")
+
+    def find_class(self, module, name):
+        if module.split(".")[0] in ("torch", "collections", "numpy",
+                                    "builtins", "copyreg", "_codecs"):
+            return super().find_class(module, name)
+        return type(name, (_Stub,), {"__module__": module})
+
+
+class _ShimPickleModule:
+    Unpickler = _PermissiveUnpickler
+    loads = staticmethod(pickle.loads)
+    load = staticmethod(pickle.load)
+
+
+def _collect_tensors(obj, prefix: str, out: Dict[str, np.ndarray]) -> None:
+    d = getattr(obj, "__dict__", None)
+    if not isinstance(d, dict):
+        return
+    for slot in ("_parameters", "_buffers"):
+        entries = d.get(slot)
+        if entries:
+            for name, t in dict(entries).items():
+                if t is not None and hasattr(t, "detach"):
+                    out[prefix + name] = (
+                        t.detach().to("cpu").float().numpy()
+                    )
+    modules = d.get("_modules")
+    if modules:
+        for name, child in dict(modules).items():
+            if child is not None:
+                _collect_tensors(child, prefix + name + ".", out)
+
+
+def load_torch_state(pt_path: str) -> Dict[str, np.ndarray]:
+    """Read an ultralytics (or raw) .pt file into {name: float32 array}."""
+    import torch
+
+    try:
+        ckpt = torch.load(
+            pt_path,
+            map_location="cpu",
+            pickle_module=_ShimPickleModule,
+            weights_only=False,
+        )
+    except Exception as e:
+        raise ModelError(f"cannot unpickle checkpoint {pt_path}: {e}") from e
+    state: Dict[str, np.ndarray] = {}
+    if isinstance(ckpt, dict) and "model" in ckpt and not hasattr(
+        ckpt["model"], "detach"
+    ):
+        _collect_tensors(ckpt["model"], "", state)
+    elif isinstance(ckpt, dict):
+        for k, v in ckpt.items():
+            if hasattr(v, "detach"):
+                state[k] = v.detach().to("cpu").float().numpy()
+    if not state:
+        raise ModelError(f"no tensors found in checkpoint {pt_path}")
+    return state
+
+
+def _flax_path(torch_key: str) -> Tuple[Tuple[str, ...], str]:
+    """torch state name -> (flax module path, leaf kind).
+
+    Numeric components merge into the preceding name (``m.0`` -> ``m_0``);
+    ``proto.cvN``/``proto.upsample`` and ``ffn.N`` merge too (module names
+    in model.py are flat at those points).
+    """
+    tokens = torch_key.split(".")
+    leaf = tokens[-1]
+    tokens = tokens[:-1]
+    path = []
+    for t in tokens:
+        if t.isdigit() and path:
+            path[-1] = f"{path[-1]}_{t}"
+        elif t in ("cv1", "cv2", "cv3", "upsample") and path and path[-1] == "proto":
+            path[-1] = f"proto_{t}"
+        else:
+            path.append(t)
+    return tuple(path), leaf
+
+
+def convert_state_to_variables(
+    state: Dict[str, np.ndarray], template_vars: Dict
+) -> Dict:
+    """Fill a flax variables template (from model.init) with torch weights.
+
+    Raises ModelError listing any template leaf left unfilled or any
+    checkpoint tensor with no destination (DFL's fixed kernel and
+    num_batches_tracked counters are skipped by design).
+    """
+    import jax
+
+    params = jax.tree_util.tree_map(np.array, template_vars["params"])
+    batch_stats = jax.tree_util.tree_map(
+        np.array, template_vars.get("batch_stats", {})
+    )
+    filled = set()
+    unmatched = []
+
+    def set_leaf(tree, path, value, torch_key):
+        node = tree
+        for p in path[:-1]:
+            if not isinstance(node, dict) or p not in node:
+                return False
+            node = node[p]
+        leaf_name = path[-1]
+        if not isinstance(node, dict) or leaf_name not in node:
+            return False
+        if node[leaf_name].shape != value.shape:
+            raise ModelError(
+                f"shape mismatch for {torch_key}: checkpoint "
+                f"{value.shape} vs model {node[leaf_name].shape}"
+            )
+        node[leaf_name] = value.astype(node[leaf_name].dtype)
+        filled.add(tuple(path))
+        return True
+
+    for key, value in state.items():
+        if key.endswith("num_batches_tracked") or ".dfl." in key:
+            continue
+        path, leaf = _flax_path(key)
+        ok = False
+        if leaf == "weight":
+            if value.ndim == 4:
+                mod = path[-1] if path else ""
+                if "upsample" in mod:
+                    # torch ConvTranspose2d (I, O, kh, kw) -> flax
+                    # transpose_kernel=True layout (kh, kw, O, I)
+                    w = value.transpose(2, 3, 1, 0)
+                else:
+                    # torch Conv2d (O, I/g, kh, kw) -> (kh, kw, I/g, O)
+                    w = value.transpose(2, 3, 1, 0)
+                ok = set_leaf(params, (*path, "kernel"), w, key)
+            elif value.ndim == 1:  # batchnorm gamma
+                ok = set_leaf(params, (*path, "scale"), value, key)
+        elif leaf == "bias":
+            ok = set_leaf(params, (*path, "bias"), value, key)
+        elif leaf == "running_mean":
+            ok = set_leaf(batch_stats, (*path, "mean"), value, key)
+        elif leaf == "running_var":
+            ok = set_leaf(batch_stats, (*path, "var"), value, key)
+        if not ok:
+            unmatched.append(key)
+    if unmatched:
+        raise ModelError(
+            f"{len(unmatched)} checkpoint tensors had no destination, e.g. "
+            + ", ".join(unmatched[:8])
+        )
+    out = {"params": params}
+    if batch_stats:
+        out["batch_stats"] = batch_stats
+    return out
+
+
+def convert_ultralytics_checkpoint(
+    pt_path: str, model, imgsz: int = 512, n_channels: int = 3
+) -> Dict:
+    """Load a .pt checkpoint into variables for ``model`` (a YoloV11)."""
+    import jax
+    import jax.numpy as jnp
+
+    state = load_torch_state(pt_path)
+    template = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, imgsz, imgsz, n_channels), jnp.float32),
+    )
+    template = jax.tree_util.tree_map(np.asarray, template)
+    # unfreeze-style plain dicts
+    template = jax.tree_util.tree_map(
+        lambda x: x, jax.device_get(template)
+    )
+    template = _to_mutable(template)
+    return convert_state_to_variables(state, template)
+
+
+def _to_mutable(tree):
+    if isinstance(tree, dict) or hasattr(tree, "items"):
+        return {k: _to_mutable(v) for k, v in tree.items()}
+    return tree
+
+
+def load_weights(pt_path: str, model, imgsz: int = 512):
+    """Convenience: checkpoint path -> jnp variables ready for apply()."""
+    import jax.numpy as jnp
+    import jax
+
+    variables = convert_ultralytics_checkpoint(pt_path, model, imgsz)
+    return jax.tree_util.tree_map(jnp.asarray, variables)

@@ -1,0 +1,13 @@
+from .mesh import make_device_mesh
+from .shard import (
+    shard_batch,
+    shard_params_fsdp,
+    sharded_eit_monitoring,
+)
+
+__all__ = [
+    "make_device_mesh",
+    "shard_batch",
+    "shard_params_fsdp",
+    "sharded_eit_monitoring",
+]

@@ -1,0 +1,81 @@
+"""Sharding helpers: data-parallel batches, FSDP-style parameters, and the
+multi-chip EIT monitoring run.
+
+The workload's natural parallel axes (SURVEY section 5, long-context note):
+breathing frames and subjects are independent, so they shard over the
+``data`` mesh axis with zero collectives until the final gather;
+parameters shard over ``model`` where divisible (FSDP-style) and are
+all-gathered by XLA where used.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def shard_batch(x, mesh: Mesh, axis: str = "data"):
+    """Place a batched array with its leading axis split over ``axis``."""
+    spec = P(axis, *([None] * (jnp.ndim(x) - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def shard_params_fsdp(params, mesh: Mesh, axis: str = "model", min_size: int = 2**14):
+    """Shard each large parameter's largest divisible dimension over
+    ``axis``; replicate the rest. Returns the placed pytree."""
+    n = mesh.shape[axis]
+
+    def place(p):
+        if p.ndim == 0 or p.size < min_size:
+            return jax.device_put(p, NamedSharding(mesh, P()))
+        dims = np.argsort(p.shape)[::-1]
+        for d in dims:
+            if p.shape[d] % n == 0:
+                spec = [None] * p.ndim
+                spec[d] = axis
+                return jax.device_put(p, NamedSharding(mesh, P(*spec)))
+        return jax.device_put(p, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(place, params)
+
+
+def sharded_eit_monitoring(
+    cs,
+    sigma: np.ndarray,
+    el_pos,
+    ex_mat,
+    meas_mat,
+    mesh: Optional[Mesh] = None,
+):
+    """Batched forward solve with the frame axis sharded across chips.
+
+    K_class replicates (it is shared by every frame); the (T, C) frame
+    conductivities shard over ``data``; each chip factorizes its frames;
+    the result all-gathers on output. T must be padded to a multiple of
+    the data-axis size by the caller (SimulationConfig.n_points usually
+    already is).
+    """
+    from ..fem.solver import _forward_solve_batched
+    from .mesh import make_device_mesh
+
+    if mesh is None:
+        mesh = make_device_mesh(("data",))
+    ndata = mesh.shape["data"]
+    T = sigma.shape[0]
+    pad = (-T) % ndata
+    if pad:
+        sigma = np.concatenate([sigma, np.repeat(sigma[-1:], pad, 0)], 0)
+    sig = jax.device_put(
+        jnp.asarray(sigma, cs.k_class.dtype), NamedSharding(mesh, P("data", None))
+    )
+    k_class = jax.device_put(cs.k_class, NamedSharding(mesh, P()))
+    diag = jax.device_put(cs.diag_fix, NamedSharding(mesh, P()))
+    v = _forward_solve_batched(
+        k_class, diag, cs.ref_node, sig,
+        jnp.asarray(el_pos), jnp.asarray(ex_mat), jnp.asarray(meas_mat),
+    )
+    return np.asarray(v)[:T]

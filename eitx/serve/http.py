@@ -1,0 +1,153 @@
+"""HTTP service exposing the five upload endpoints.
+
+Endpoint-for-endpoint parity with the reference's FastAPI app
+(main_kt_service.py:33-142): POST /uploadDicomSequence,
+/uploadDicomSequenceCustom, /uploadDicomFrame, /uploadImageAxialSlice,
+/uploadNII — multipart field ``file`` carrying a zip. Error mapping:
+bad zip -> 400, anything else -> 500 with detail. Implemented on the
+stdlib ThreadingHTTPServer (no web-framework dependency); a /health
+endpoint is added for operability.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from io import BytesIO
+from typing import Callable, Dict, Optional
+
+from ..core.errors import EitxError, IngestError
+
+logger = logging.getLogger("eitx.serve")
+
+
+def _parse_multipart(body: bytes, content_type: str) -> bytes:
+    """Extract the first file part from a multipart/form-data body."""
+    if "boundary=" not in content_type:
+        raise IngestError("multipart body without boundary")
+    boundary = content_type.split("boundary=", 1)[1].strip().strip('"')
+    delim = b"--" + boundary.encode()
+    for part in body.split(delim):
+        if b"\r\n\r\n" not in part:
+            continue
+        head, payload = part.split(b"\r\n\r\n", 1)
+        if b"filename=" in head or b'name="file"' in head:
+            return payload.rstrip(b"\r\n-")
+    raise IngestError("no file part in multipart body")
+
+
+class _Handler(BaseHTTPRequestHandler):
+    routes: Dict[str, Callable[[BytesIO], dict]] = {}
+
+    def log_message(self, fmt, *args):  # route through logging
+        logger.info("%s - %s", self.address_string(), fmt % args)
+
+    def _send(self, code: int, payload: dict):
+        data = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def do_GET(self):  # noqa: N802
+        path = self.path.rstrip("/")
+        if path in ("", "/health"):
+            self._send(200, {"status": "ok", "endpoints": sorted(self.routes)})
+        elif path == "/ui":
+            from .frontend import FRONTEND_HTML
+
+            data = FRONTEND_HTML.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+        else:
+            self._send(404, {"detail": "not found"})
+
+    def do_POST(self):  # noqa: N802
+        path = self.path.rstrip("/")
+        handler = self.routes.get(path)
+        if handler is None:
+            self._send(404, {"detail": f"unknown endpoint {path}"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+            body = self.rfile.read(length)
+            ctype = self.headers.get("Content-Type", "")
+            if ctype.startswith("multipart/form-data"):
+                body = _parse_multipart(body, ctype)
+            answer = handler(BytesIO(body))
+            self._send(200, answer)
+        except IngestError as e:
+            logger.error("bad request on %s: %s", path, e)
+            self._send(400, {"detail": str(e)})
+        except EitxError as e:
+            logger.error("pipeline error on %s: %s", path, e)
+            self._send(500, {"detail": f"processing error: {e}"})
+        except Exception as e:  # pragma: no cover
+            logger.exception("unexpected error on %s", path)
+            self._send(500, {"detail": f"internal error: {e}"})
+
+
+class EitxHTTPServer:
+    """Wraps ThreadingHTTPServer with the pipeline routes."""
+
+    def __init__(self, pipeline, host: str = "0.0.0.0", port: int = 5001):
+        handler = type("BoundHandler", (_Handler,), {})
+        handler.routes = {
+            "/uploadDicomSequence": pipeline.run_dicom_sequences_auto,
+            "/uploadDicomSequenceCustom": pipeline.run_dicom_sequences_custom,
+            "/uploadDicomFrame": pipeline.run_dicom_frame,
+            "/uploadImageAxialSlice": pipeline.run_jpg_png_zip,
+            "/uploadNII": pipeline.run_nii,
+        }
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def port(self) -> int:
+        return self.httpd.server_address[1]
+
+    def start_background(self) -> None:
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    def serve_forever(self) -> None:
+        logger.info("eitx service listening on :%d", self.port)
+        self.httpd.serve_forever()
+
+    def shutdown(self) -> None:
+        self.httpd.shutdown()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+
+def make_server(
+    pipeline=None, host: str = "0.0.0.0", port: int = 5001, **pipeline_kw
+) -> EitxHTTPServer:
+    if pipeline is None:
+        from ..pipeline import Pipeline
+
+        pipeline = Pipeline(**pipeline_kw)
+    return EitxHTTPServer(pipeline, host, port)
+
+
+def main():  # pragma: no cover
+    import argparse
+
+    p = argparse.ArgumentParser(description="eitx CT->EIT service")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=5001)
+    args = p.parse_args()
+    logging.basicConfig(level=logging.INFO)
+    make_server(host=args.host, port=args.port).serve_forever()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

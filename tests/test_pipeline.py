@@ -1,0 +1,165 @@
+import base64
+import io
+import json
+import zipfile
+
+import numpy as np
+import pytest
+
+from eitx.core.config import PipelineConfig, SimulationConfig
+from eitx.io.dicom import write_dicom
+from eitx.io.images import to_png_bytes
+from eitx.io.nifti import write_nifti
+from eitx.pipeline import Pipeline
+from eitx.models.yolo.post import Detections
+
+
+def synth_labels(h=512, w=512):
+    """Plausible tissue label image: fat ring, muscle, two lungs, bone."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    lab = np.full((h, w), -1, dtype=np.int32)
+    body = ((xx - 256) / 200.0) ** 2 + ((yy - 256) / 150.0) ** 2 < 1
+    fat = ((xx - 256) / 195.0) ** 2 + ((yy - 256) / 145.0) ** 2 < 1
+    mus = ((xx - 256) / 175.0) ** 2 + ((yy - 256) / 127.0) ** 2 < 1
+    lab[fat] = 3
+    lab[mus] = 1
+    lungL = ((xx - 175) / 55.0) ** 2 + ((yy - 250) / 75.0) ** 2 < 1
+    lungR = ((xx - 337) / 55.0) ** 2 + ((yy - 250) / 75.0) ** 2 < 1
+    lab[lungL | lungR] = 2
+    bone = ((xx - 256) / 22.0) ** 2 + ((yy - 330) / 18.0) ** 2 < 1
+    lab[bone] = 0
+    return lab, (body * 255).astype(np.uint8)
+
+
+class StubSegmenter:
+    imgsz = 512
+
+    def predict_labels(self, image):
+        lab, _ = synth_labels(*np.asarray(image).shape[:2])
+        return lab, 0.01
+
+
+class StubRibs:
+    def predict(self, front):
+        # 9 right-side ribs + 2 left, y spaced 30px
+        boxes, n = [], 9
+        for i in range(n):
+            boxes.append([300.0, 20.0 + 30 * i, 330.0, 40.0 + 30 * i])
+        boxes += [[40.0, 50.0, 70.0, 70.0], [40.0, 90.0, 70.0, 110.0]]
+        boxes = np.array(boxes, dtype=np.float32)
+        k = len(boxes)
+        return Detections(
+            boxes=boxes,
+            scores=np.full((k,), 0.9, np.float32),
+            classes=np.zeros((k,), np.int32),
+            coefs=np.zeros((k, 1), np.float32),
+            valid=np.ones((k,), bool),
+        )
+
+
+@pytest.fixture(scope="module")
+def pipeline(tmp_path_factory):
+    cfg = PipelineConfig(
+        sim=SimulationConfig(n_points=4),
+        results_dir=str(tmp_path_factory.mktemp("results")),
+    )
+    p = Pipeline.__new__(Pipeline)  # skip heavyweight model init
+    p.config = cfg
+    p.seg_512 = StubSegmenter()
+    p._seg_256 = StubSegmenter()
+    p.ribs = StubRibs()
+    p._model_kw = {}
+    return p
+
+
+def _check_answer(ans, with_file=True):
+    assert ans["status"] == "success"
+    img = base64.b64decode(ans["image"])
+    assert img[:8] == b"\x89PNG\r\n\x1a\n"
+    assert ans["segmentation_time"] >= 0
+    assert ans["simulation_time"] > 0
+    if with_file:
+        import os
+
+        assert ans["saved_file_name"] and os.path.exists(ans["saved_file_name"])
+        rows = open(ans["saved_file_name"]).read().strip().split("\n")
+        assert len(rows) == 4 * 12  # n_points * n_spir
+        assert len(rows[0].split()) == 208
+
+
+def _body_phantom_hu(h=512, w=512):
+    """HU image: ellipse body at ~40 HU in -1000 air, lungs at -800."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    hu = np.full((h, w), -1000.0)
+    body = ((xx - 256) / 200.0) ** 2 + ((yy - 256) / 150.0) ** 2 < 1
+    hu[body] = 40.0
+    lung = ((xx - 175) / 55.0) ** 2 + ((yy - 250) / 75.0) ** 2 < 1
+    hu[lung] = -800.0
+    return hu
+
+
+def test_jpg_png_mode(pipeline):
+    lab, _ = synth_labels()
+    img = (lab >= 0).astype(np.uint8) * 128
+    ans = pipeline.run_jpg_png(img)
+    _check_answer(ans)
+
+
+def test_jpg_png_zip_mode(pipeline):
+    img = ((synth_labels()[0] >= 0) * 128).astype(np.uint8)
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("slice.png", to_png_bytes(img))
+    buf.seek(0)
+    ans = pipeline.run_jpg_png_zip(buf)
+    _check_answer(ans)
+
+
+def _dicom_zip(n_slices=3, series="9.9.9"):
+    hu = _body_phantom_hu()
+    px = (hu + 1024).astype(np.int16)  # intercept -1024
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for i in range(n_slices):
+            zf.writestr(
+                f"{i}.dcm",
+                write_dicom(px, series_uid=series, instance_number=i + 1,
+                            rescale_intercept=-1024),
+            )
+    buf.seek(0)
+    return buf
+
+
+def test_dicom_frame_mode(pipeline):
+    ans = pipeline.run_dicom_frame(_dicom_zip(1))
+    _check_answer(ans)
+
+
+def test_dicom_sequences_auto_mode(pipeline):
+    ans = pipeline.run_dicom_sequences_auto(_dicom_zip(12))
+    _check_answer(ans)
+
+
+def test_dicom_sequences_custom_mode(pipeline):
+    buf = _dicom_zip(12)
+    # rebuild with custom_input
+    src = zipfile.ZipFile(buf)
+    out = io.BytesIO()
+    with zipfile.ZipFile(out, "w") as zf:
+        for n in src.namelist():
+            zf.writestr(n, src.read(n))
+        zf.writestr("custom_input.txt", "1")
+    out.seek(0)
+    ans = pipeline.run_dicom_sequences_custom(out)
+    _check_answer(ans)
+
+
+def test_nii_mode(pipeline):
+    hu = _body_phantom_hu(256, 256).astype(np.int16)
+    vol = np.stack([hu] * 5, axis=-1)
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("scan.nii.gz", write_nifti(vol, pixdim=(1, 0.7, 0.7, 1)))
+    buf.seek(0)
+    ans = pipeline.run_nii(buf)
+    _check_answer(ans)

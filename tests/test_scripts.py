@@ -1,0 +1,90 @@
+import io
+import os
+import zipfile
+
+import numpy as np
+
+from eitx.scripts.pseudo_label import (
+    HU_RANGES,
+    labels_to_yolo_lines,
+    pseudo_label_slice,
+    pseudo_label_stack,
+)
+from eitx.scripts.build_datasets import build_axial_dataset, build_frontal_dataset
+from eitx.io.dicom import write_dicom
+
+
+def _phantom_hu(h=128, w=128):
+    yy, xx = np.mgrid[0:h, 0:w]
+    hu = np.full((h, w), -1000.0)
+    body = ((xx - 64) / 50.0) ** 2 + ((yy - 64) / 40.0) ** 2 < 1
+    hu[body] = 25.0  # muscle range
+    fat = ((xx - 64) / 48.0) ** 2 + ((yy - 64) / 38.0) ** 2 >= 0.82
+    hu[body & fat] = -80.0  # fat range
+    lung = ((xx - 45) / 14.0) ** 2 + ((yy - 60) / 18.0) ** 2 < 1
+    hu[lung] = -700.0
+    bone = ((xx - 64) / 6.0) ** 2 + ((yy - 85) / 5.0) ** 2 < 1
+    hu[bone] = 300.0
+    mask = (body * 255).astype(np.uint8)
+    return hu, mask
+
+
+def test_pseudo_label_slice_classes():
+    hu, mask = _phantom_hu()
+    lab = pseudo_label_slice(hu, mask)
+    assert lab[60, 45] == 2  # lung
+    assert lab[85, 64] == 0  # bone
+    assert lab[64, 64] == 1  # muscle
+    assert lab[5, 5] == -1  # outside body
+    # fat ring present
+    assert (lab == 3).sum() > 50
+
+
+def test_pseudo_label_stack_matches_single():
+    hu, mask = _phantom_hu()
+    stack = pseudo_label_stack(np.stack([hu, hu]), np.stack([mask, mask]))
+    single = pseudo_label_slice(hu, mask)
+    assert np.array_equal(stack[0], single)
+    assert np.array_equal(stack[1], single)
+
+
+def test_labels_to_yolo_lines():
+    hu, mask = _phantom_hu()
+    lab = pseudo_label_slice(hu, mask)
+    lines = labels_to_yolo_lines(lab)
+    assert lines
+    cids = {int(l.split()[0]) for l in lines}
+    assert 2 in cids and 1 in cids
+    for line in lines:
+        coords = list(map(float, line.split()[1:]))
+        assert all(0.0 <= c <= 1.0 for c in coords)
+
+
+def test_build_axial_dataset(tmp_path):
+    hu, _ = _phantom_hu(128, 128)
+    px = (hu + 1024).astype(np.int16)
+    zp = tmp_path / "subj.zip"
+    with zipfile.ZipFile(zp, "w") as zf:
+        for i in range(2):
+            zf.writestr(f"{i}.dcm",
+                        write_dicom(px, "1.2.3", i + 1, rescale_intercept=-1024))
+    out = tmp_path / "ds"
+    n = build_axial_dataset([str(zp)], str(out))
+    assert n == 2
+    assert len(os.listdir(out / "images")) == 2
+    labels = (out / "labels").iterdir()
+    assert any(p.stat().st_size > 0 for p in labels)
+
+
+def test_build_frontal_dataset(tmp_path):
+    hu, _ = _phantom_hu(64, 64)
+    px = (hu + 1024).astype(np.int16)
+    zp = tmp_path / "subj.zip"
+    with zipfile.ZipFile(zp, "w") as zf:
+        for i in range(4):
+            zf.writestr(f"{i}.dcm",
+                        write_dicom(px, "1.2.3", i + 1, rescale_intercept=-1024))
+    out = tmp_path / "front"
+    n = build_frontal_dataset([str(zp)], str(out))
+    assert n == 64  # one frontal image per column of the 64-wide volume
+    assert len(os.listdir(out)) == 64

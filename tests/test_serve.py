@@ -1,0 +1,129 @@
+import io
+import json
+import urllib.request
+import zipfile
+
+import numpy as np
+import pytest
+
+from eitx.core.errors import IngestError
+from eitx.serve import EitxHTTPServer
+from eitx.serve.http import _parse_multipart
+
+
+class StubPipeline:
+    def __init__(self):
+        self.calls = []
+
+    def _ok(self, name, blob):
+        self.calls.append(name)
+        data = blob.read()
+        # raise like the real ingest on non-zip payloads
+        if not data.startswith(b"PK"):
+            raise IngestError("uploaded file is not a valid ZIP archive")
+        return {"status": "success", "mode": name, "bytes": len(data)}
+
+    def run_dicom_sequences_auto(self, b):
+        return self._ok("auto", b)
+
+    def run_dicom_sequences_custom(self, b):
+        return self._ok("custom", b)
+
+    def run_dicom_frame(self, b):
+        return self._ok("frame", b)
+
+    def run_jpg_png_zip(self, b):
+        return self._ok("jpg", b)
+
+    def run_nii(self, b):
+        return self._ok("nii", b)
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = EitxHTTPServer(StubPipeline(), host="127.0.0.1", port=0)
+    srv.start_background()
+    yield srv
+    srv.shutdown()
+
+
+def _zip_bytes():
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("x.bin", b"data")
+    return buf.getvalue()
+
+
+def _post(server, path, body, content_type="application/octet-stream"):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}{path}",
+        data=body,
+        headers={"Content-Type": content_type},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+@pytest.mark.parametrize(
+    "path,mode",
+    [
+        ("/uploadDicomSequence", "auto"),
+        ("/uploadDicomSequenceCustom", "custom"),
+        ("/uploadDicomFrame", "frame"),
+        ("/uploadImageAxialSlice", "jpg"),
+        ("/uploadNII", "nii"),
+    ],
+)
+def test_endpoints_raw_body(server, path, mode):
+    code, ans = _post(server, path, _zip_bytes())
+    assert code == 200
+    assert ans["mode"] == mode
+
+
+def test_multipart_upload(server):
+    blob = _zip_bytes()
+    boundary = "xyzBOUNDARYxyz"
+    body = (
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="file"; filename="a.zip"\r\n'
+        "Content-Type: application/zip\r\n\r\n"
+    ).encode() + blob + f"\r\n--{boundary}--\r\n".encode()
+    code, ans = _post(
+        server, "/uploadDicomFrame", body,
+        content_type=f"multipart/form-data; boundary={boundary}",
+    )
+    assert code == 200
+    assert ans["bytes"] == len(blob)
+
+
+def test_bad_zip_maps_to_400(server):
+    code, ans = _post(server, "/uploadNII", b"this is not a zip")
+    assert code == 400
+    assert "ZIP" in ans["detail"]
+
+
+def test_unknown_endpoint_404(server):
+    code, ans = _post(server, "/nope", b"")
+    assert code == 404
+
+
+def test_health(server):
+    with urllib.request.urlopen(f"http://127.0.0.1:{server.port}/health") as r:
+        ans = json.loads(r.read())
+    assert ans["status"] == "ok"
+    assert "/uploadNII" in ans["endpoints"]
+
+
+def test_parse_multipart_extracts_payload():
+    boundary = "bb"
+    blob = b"PK\x03\x04payload"
+    body = (
+        b"--bb\r\nContent-Disposition: form-data; name=\"file\"; "
+        b"filename=\"f\"\r\n\r\n" + blob + b"\r\n--bb--\r\n"
+    )
+    out = _parse_multipart(body, "multipart/form-data; boundary=bb")
+    assert out == blob

@@ -1,0 +1,46 @@
+import numpy as np
+import jax.numpy as jnp
+
+from eitx.fem import ClassStiffness, create_protocol, place_electrodes_equal_spacing
+from eitx.fem.solver import forward_solve_batched
+from eitx.fem.spectral import SpectralEITSolver
+
+from meshfix import disk_mesh_with_classes
+
+
+def test_spectral_matches_cholesky():
+    nodes, tris, cls = disk_mesh_with_classes(48, 6)
+    el = place_electrodes_equal_spacing(nodes, tris, 16, starting_angle=np.pi)
+    p = create_protocol(16, 1, 1, "std")
+    cs = ClassStiffness.build(nodes, tris, cls, n_classes=5, dtype=jnp.float32)
+    base = np.array([0.006, 0.35, 0.15, 0.017, 0.4])  # lung col = 2
+    alphas = np.linspace(0.06, 0.18, 9)
+    sigma = np.tile(base, (alphas.size, 1))
+    sigma[:, 2] = alphas
+    v_ref = np.asarray(
+        forward_solve_batched(cs, jnp.asarray(sigma, jnp.float32),
+                              jnp.asarray(el), jnp.asarray(p.ex_mat),
+                              jnp.asarray(p.meas_mat)))
+    solver = SpectralEITSolver.build(
+        cs, base, lung_class=2, el_pos=el, ex_mat=p.ex_mat,
+        meas_mat=p.meas_mat, alpha0=float(alphas.mean()))
+    v_sp = np.asarray(solver.solve(alphas))
+    assert v_sp.shape == v_ref.shape
+    scale = np.abs(v_ref).max()
+    err = np.abs(v_sp - v_ref).max() / scale
+    assert err < 2e-3, err
+
+
+def test_spectral_breathing_modulation_monotone():
+    nodes, tris, cls = disk_mesh_with_classes(40, 5)
+    el = place_electrodes_equal_spacing(nodes, tris, 16, starting_angle=np.pi)
+    p = create_protocol(16, 1, 1, "std")
+    cs = ClassStiffness.build(nodes, tris, cls, n_classes=5, dtype=jnp.float32)
+    base = np.array([0.006, 0.35, 0.15, 0.017, 0.4])
+    solver = SpectralEITSolver.build(cs, base, 2, el, p.ex_mat, p.meas_mat, 0.12)
+    alphas = np.array([0.06, 0.12, 0.18])
+    v = np.asarray(solver.solve(alphas))
+    # voltages must vary smoothly and monotonically with lung conductivity
+    d01 = np.abs(v[1] - v[0]).max()
+    d02 = np.abs(v[2] - v[0]).max()
+    assert d02 > d01 > 0

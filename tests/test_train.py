@@ -1,0 +1,82 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from eitx.parallel import make_device_mesh, shard_batch, shard_params_fsdp
+from eitx.train import TrainConfig, Trainer, synthetic_ct_batch
+from eitx.train.losses import ciou, dfl_loss
+from eitx.train.trainer import _anchors_for, _assign
+
+IMG = 64
+
+
+def test_ciou_identity_and_disjoint():
+    b = jnp.asarray([[0.0, 0.0, 10.0, 10.0]])
+    assert np.isclose(float(ciou(b, b)[0]), 1.0, atol=1e-5)
+    b2 = jnp.asarray([[100.0, 100.0, 110.0, 110.0]])
+    assert float(ciou(b, b2)[0]) < 0.0
+
+
+def test_dfl_loss_minimized_at_target():
+    reg_max = 16
+    logits = np.full((1, 4, reg_max), 0.0, np.float32)
+    logits[:, :, 5] = 8.0
+    l_at = float(dfl_loss(jnp.asarray(logits), jnp.full((1, 4), 5.0), reg_max).mean())
+    l_off = float(dfl_loss(jnp.asarray(logits), jnp.full((1, 4), 9.0), reg_max).mean())
+    assert l_at < l_off
+
+
+def test_assigner_centers():
+    anchors, strides = _anchors_for(IMG)
+    boxes = jnp.asarray([[8.0, 8.0, 24.0, 24.0], [40.0, 40.0, 56.0, 56.0]])
+    valid = jnp.asarray([1.0, 1.0])
+    assigned = np.asarray(_assign(anchors, strides, boxes, valid, 2.5))
+    a = np.asarray(anchors)
+    inside0 = (a[:, 0] > 8) & (a[:, 0] < 24) & (a[:, 1] > 8) & (a[:, 1] < 24)
+    assert (assigned[inside0] == 0).all()
+    assert (assigned >= 0).sum() > 0
+    # invalid targets never assigned
+    assigned2 = np.asarray(
+        _assign(anchors, strides, boxes, jnp.asarray([1.0, 0.0]), 2.5)
+    )
+    assert not (assigned2 == 1).any()
+
+
+def test_train_step_decreases_loss():
+    cfg = TrainConfig(imgsz=IMG, variant="n", total_steps=50, warmup_steps=0,
+                      lr=5e-3, max_instances=4)
+    tr = Trainer(cfg)
+    batch = synthetic_ct_batch(batch=2, imgsz=IMG, max_instances=4, seed=1)
+    first = tr.train_step(batch)
+    losses = [first["loss"]]
+    for _ in range(8):
+        losses.append(tr.train_step(batch)["loss"])
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_sharded_training_on_cpu_mesh():
+    mesh = make_device_mesh(("data", "model"), shape=(4, 2))
+    cfg = TrainConfig(imgsz=IMG, variant="n", total_steps=10, warmup_steps=0,
+                      max_instances=4)
+    tr = Trainer(cfg, mesh=mesh)
+    batch = synthetic_ct_batch(batch=8, imgsz=IMG, max_instances=4)
+    m = tr.train_step(batch)
+    assert np.isfinite(m["loss"])
+    # params stay sharded after the step
+    leaves = jax.tree_util.tree_leaves(tr.state.params)
+    assert any(
+        not s.is_fully_replicated for s in (l.sharding for l in leaves)
+    )
+
+
+def test_shard_helpers():
+    mesh = make_device_mesh(("data", "model"), shape=(4, 2))
+    x = np.zeros((8, 3, 3), np.float32)
+    xs = shard_batch(x, mesh)
+    assert xs.sharding.spec == jax.sharding.PartitionSpec("data", None, None)
+    params = {"w": np.zeros((64, 512), np.float32), "b": np.zeros((7,), np.float32)}
+    ps = shard_params_fsdp(params, mesh)
+    assert not ps["w"].sharding.is_fully_replicated
+    assert ps["b"].sharding.is_fully_replicated

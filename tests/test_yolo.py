@@ -1,0 +1,242 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from eitx.models.yolo import YoloV11, yolov11_spec
+from eitx.models.yolo.post import (
+    Detections,
+    _dfl,
+    _iou_matrix,
+    decode_detections,
+    nms_fixed,
+    process_masks,
+    postprocess_segment,
+)
+from eitx.models.yolo.convert import (
+    _flax_path,
+    convert_state_to_variables,
+)
+from eitx.models.yolo.infer import TissueSegmenter, letterbox_params
+
+IMG = 128  # small for test speed
+
+
+@pytest.fixture(scope="module")
+def seg_model():
+    spec = yolov11_spec("n", nc=4, segment=True)
+    model = YoloV11(spec)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, IMG, IMG, 3), jnp.float32)
+    )
+    return model, variables
+
+
+def test_forward_shapes(seg_model):
+    model, variables = seg_model
+    out = model.apply(variables, jnp.zeros((2, IMG, IMG, 3)), train=False)
+    assert out["strides"] == (8, 16, 32)
+    (b0, c0), (b1, c1), (b2, c2) = out["levels"]
+    assert b0.shape == (2, IMG // 8, IMG // 8, 64)
+    assert c0.shape == (2, IMG // 8, IMG // 8, 4)
+    assert b2.shape == (2, IMG // 32, IMG // 32, 64)
+    assert out["proto"].shape == (2, IMG // 4, IMG // 4, 32)
+    assert out["mask_coefs"][0].shape == (2, IMG // 8, IMG // 8, 32)
+
+
+def test_dfl_expectation():
+    # logits peaked at bin 3 -> distance ~3
+    logits = np.full((1, 4, 16), -10.0)
+    logits[:, :, 3] = 10.0
+    d = np.asarray(_dfl(jnp.asarray(logits.reshape(1, 64)), 16))
+    assert np.allclose(d, 3.0, atol=1e-3)
+
+
+def test_decode_box_geometry():
+    # one level, 2x2 map, uniform distances -> boxes centered on anchors
+    reg_max = 16
+    box_map = np.full((1, 2, 2, 4 * reg_max), -10.0, np.float32)
+    # peak at bin 2 for all 4 distances
+    box_map.reshape(1, 2, 2, 4, reg_max)[..., 2] = 10.0
+    cls_map = np.full((1, 2, 2, 3), -5.0, np.float32)
+    cls_map[0, 0, 1, 2] = 5.0  # strong class-2 at cell (y=0, x=1)
+    out = {"levels": [(jnp.asarray(box_map), jnp.asarray(cls_map))],
+           "strides": (8,)}
+    boxes, scores, classes, _ = decode_detections(out, reg_max)
+    # anchor (x=1.5, y=0.5) stride 8: box = (1.5-2, 0.5-2, 1.5+2, 0.5+2)*8
+    i = 1  # flat index y=0, x=1
+    assert np.allclose(np.asarray(boxes)[0, i], [-4, -12, 28, 20])
+    assert np.asarray(classes)[0, i] == 2
+    assert np.asarray(scores)[0, i] > 0.99
+
+
+def test_iou_matrix():
+    boxes = jnp.asarray([[0, 0, 10, 10], [5, 5, 15, 15], [20, 20, 30, 30]],
+                        jnp.float32)
+    m = np.asarray(_iou_matrix(boxes))
+    assert np.isclose(m[0, 0], 1.0)
+    assert np.isclose(m[0, 1], 25 / 175, atol=1e-5)
+    assert m[0, 2] == 0.0
+
+
+def test_nms_suppresses_overlaps():
+    boxes = jnp.asarray(
+        [[0, 0, 10, 10], [1, 1, 11, 11], [20, 20, 30, 30], [2, 2, 12, 12]],
+        jnp.float32,
+    )
+    scores = jnp.asarray([0.9, 0.8, 0.7, 0.2])
+    classes = jnp.asarray([0, 0, 0, 0], jnp.int32)
+    coefs = jnp.zeros((4, 2))
+    det = nms_fixed(boxes, scores, classes, coefs, conf=0.3,
+                    iou_thresh=0.45, max_det=4)
+    v = np.asarray(det.valid)
+    s = np.asarray(det.scores)
+    assert v.sum() == 2  # 0.9 box, 20-30 box; 0.8 suppressed; 0.2 below conf
+    assert np.allclose(sorted(s[v].tolist()), [0.7, 0.9], atol=1e-5)
+    # different class -> not suppressed
+    classes2 = jnp.asarray([0, 1, 0, 0], jnp.int32)
+    det2 = nms_fixed(boxes, scores, classes2, coefs, 0.3, 0.45, 4)
+    assert np.asarray(det2.valid).sum() == 3
+
+
+def test_process_masks_crop():
+    hp = wp = 8
+    proto = np.zeros((hp, wp, 2), np.float32)
+    proto[:, :, 0] = 4.0  # high logit everywhere on channel 0
+    det = Detections(
+        boxes=jnp.asarray([[8.0, 8.0, 24.0, 24.0]]),  # in 32x32 input px
+        scores=jnp.asarray([0.9]),
+        classes=jnp.asarray([1], jnp.int32),
+        coefs=jnp.asarray([[1.0, 0.0]]),
+        valid=jnp.asarray([True]),
+    )
+    masks = np.asarray(process_masks(jnp.asarray(proto), det, (32, 32)))
+    assert masks.shape == (1, 32, 32)
+    assert masks[0, 16, 16]
+    assert not masks[0, 2, 2]  # cropped outside the box
+
+
+def test_flax_path_mapping():
+    assert _flax_path("model.2.m.0.cv1.conv.weight") == (
+        ("model_2", "m_0", "cv1", "conv"), "weight")
+    assert _flax_path("model.23.cv3.0.0.0.conv.weight") == (
+        ("model_23", "cv3_0_0_0", "conv"), "weight")
+    assert _flax_path("model.23.proto.cv1.bn.running_mean") == (
+        ("model_23", "proto_cv1", "bn"), "running_mean")
+    assert _flax_path("model.10.m.0.ffn.0.conv.weight") == (
+        ("model_10", "m_0", "ffn_0", "conv"), "weight")
+    assert _flax_path("model.23.cv2.1.2.bias") == (
+        ("model_23", "cv2_1_2"), "bias")
+
+
+def test_convert_fills_template(seg_model):
+    """Synthesize a torch-style state dict from the flax template (inverse
+    transposes) and check the converter reconstructs every tensor."""
+    model, variables = seg_model
+    import jax.tree_util as jtu
+
+    template = jax.device_get(variables)
+
+    def to_mutable(t):
+        if hasattr(t, "items"):
+            return {k: to_mutable(v) for k, v in t.items()}
+        return np.asarray(t)
+
+    template = to_mutable(template)
+
+    state = {}
+
+    def emit(path, tree, kind):
+        for k, v in tree.items():
+            p = path + [k]
+            if isinstance(v, dict):
+                emit(p, v, kind)
+                continue
+            name = ".".join(p)
+            # invert the converter's merge rules to a torch-style name
+            name = name.replace("_", ".")
+            # model.N, m.N, cvA.i.j, proto.* all come out right except
+            # tokens like "cv1" -> "cv.1"; undo digit-splitting of cvN
+            name = (
+                name.replace("cv.1", "cv1").replace("cv.2", "cv2")
+                .replace("cv.3", "cv3").replace("cv.4", "cv4")
+                .replace("ffn.0.conv", "ffn.0.conv")
+            )
+            if kind == "params":
+                if k == "kernel":
+                    if "upsample" in name:
+                        t = v.transpose(3, 2, 0, 1)  # flax tk=True -> torch
+                    else:
+                        t = v.transpose(3, 2, 0, 1)  # flax->torch conv
+                    state[name.replace(".kernel", ".weight")] = t
+                elif k == "scale":
+                    state[name.replace(".scale", ".weight")] = v
+                else:
+                    state[name] = v
+            else:
+                if k == "mean":
+                    state[name.replace(".mean", ".running_mean")] = v
+                elif k == "var":
+                    state[name.replace(".var", ".running_var")] = v
+
+    emit([], template["params"], "params")
+    emit([], template.get("batch_stats", {}), "stats")
+
+    out = convert_state_to_variables(state, template)
+    # every leaf should be identical to the template values we started from
+    flat_a = jtu.tree_leaves(out["params"])
+    flat_b = jtu.tree_leaves(template["params"])
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        assert a.shape == b.shape
+        assert np.allclose(a, b)
+
+
+def test_torch_layout_equivalence():
+    """Numeric parity of the conv/BN/deconv layout transposes vs torch."""
+    import torch
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 6, 10, 10)).astype(np.float32)
+
+    # conv with groups
+    wt = rng.standard_normal((8, 3, 3, 3)).astype(np.float32)  # groups=2
+    tconv = torch.nn.Conv2d(6, 8, 3, padding=1, groups=2, bias=False)
+    tconv.weight.data = torch.from_numpy(wt)
+    ref = tconv(torch.from_numpy(x)).detach().numpy()
+    from flax import linen as nn
+
+    fconv = nn.Conv(8, (3, 3), padding=((1, 1), (1, 1)),
+                    feature_group_count=2, use_bias=False)
+    params = {"params": {"kernel": jnp.asarray(wt.transpose(2, 3, 1, 0))}}
+    got = fconv.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    assert np.allclose(np.asarray(got).transpose(0, 3, 1, 2), ref, atol=1e-4)
+
+    # conv transpose 2x2 stride 2
+    wt = rng.standard_normal((6, 4, 2, 2)).astype(np.float32)
+    tdec = torch.nn.ConvTranspose2d(6, 4, 2, 2, bias=True)
+    tdec.weight.data = torch.from_numpy(wt)
+    bias = rng.standard_normal(4).astype(np.float32)
+    tdec.bias.data = torch.from_numpy(bias)
+    ref = tdec(torch.from_numpy(x)).detach().numpy()
+    fdec = nn.ConvTranspose(4, (2, 2), strides=(2, 2), transpose_kernel=True)
+    # torch ConvTranspose2d weight (I, O, kh, kw) -> (kh, kw, O, I)
+    params = {"params": {"kernel": jnp.asarray(wt.transpose(2, 3, 1, 0)),
+                         "bias": jnp.asarray(bias)}}
+    got = fdec.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    assert np.allclose(np.asarray(got).transpose(0, 3, 1, 2), ref, atol=1e-4)
+
+
+def test_letterbox_params():
+    scale, px, py = letterbox_params(300, 512, 640)
+    assert np.isclose(scale, 640 / 512)
+    assert px == 0 and py == (640 - int(round(300 * scale))) // 2
+
+
+def test_segmenter_end_to_end_random_weights():
+    seg = TissueSegmenter(imgsz=IMG, max_det=16, conf=0.0)
+    img = (np.random.default_rng(0).uniform(0, 255, (IMG, IMG))).astype(np.uint8)
+    labels, t = seg.predict_labels(img)
+    assert labels.shape == (IMG, IMG)
+    assert labels.min() >= -1 and labels.max() < 4
+    assert t >= 0
