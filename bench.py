@@ -115,19 +115,17 @@ def bench_eit_oracle(mesh, frames=4):
     return frames / dt
 
 
-def bench_segmentation(batch=16, imgsz=512, repeats=3):
-    import jax
-
+def bench_segmentation(batch=64, imgsz=512, repeats=5):
     from eitx.models.yolo.infer import TissueSegmenter
 
     seg = TissueSegmenter(imgsz=imgsz, max_det=64)
     imgs = (np.random.default_rng(0).uniform(0, 255, (batch, imgsz, imgsz))
             ).astype(np.uint8)
-    seg.segment(imgs)  # compile
+    seg.segment_labels(imgs)  # compile
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        det, masks = seg.segment(imgs)
+        seg.segment_labels(imgs)
         times.append(time.perf_counter() - t0)
     return batch / min(times)
 

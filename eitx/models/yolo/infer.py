@@ -19,7 +19,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from .model import YoloV11, yolov11_spec
-from .post import Detections, postprocess_detect, postprocess_segment
+from .post import (
+    Detections,
+    postprocess_detect,
+    postprocess_segment,
+    postprocess_segment_labels,
+)
 
 
 def letterbox_params(h: int, w: int, imgsz: int) -> Tuple[float, int, int]:
@@ -79,6 +84,7 @@ class YoloRunner:
             )
         self._detect_fn = None
         self._segment_fn = None
+        self._segment_labels_fn = None
 
     def _build_detect(self):
         model, variables = self.model, self.variables
@@ -102,6 +108,40 @@ class YoloRunner:
             return postprocess_segment(out, hw, conf, iou, max_det)
 
         return run
+
+    def _build_segment_labels(self):
+        model, variables = self.model, self.variables
+        conf, iou, max_det = self.conf, self.iou, self.max_det
+        hw = (self.imgsz, self.imgsz)
+
+        @jax.jit
+        def run(x):
+            out = model.apply(variables, x, train=False)
+            return postprocess_segment_labels(out, hw, conf, iou, max_det)
+
+        return run
+
+    def segment_labels(self, images: np.ndarray) -> np.ndarray:
+        """uint8 (B, H, W[, 3]) -> (B, H, W) int32 label images.
+
+        The whole network + NMS + mask composition stays on device; only
+        the composed label image crosses to the host — this is the
+        batched-throughput path (>> segment() which materializes every
+        instance mask)."""
+        arr = np.asarray(images)
+        b, h, w = arr.shape[0], arr.shape[1], arr.shape[2]
+        x, scale, pad_x, pad_y = _prep_batch(arr, self.imgsz)
+        if self._segment_labels_fn is None:
+            self._segment_labels_fn = self._build_segment_labels()
+        _, labels = self._segment_labels_fn(x)
+        lab = np.asarray(labels)
+        nh, nw = int(round(h * scale)), int(round(w * scale))
+        lab = lab[:, pad_y : pad_y + nh, pad_x : pad_x + nw]
+        if (nh, nw) != (h, w):
+            yy = (np.arange(h) * nh / h).astype(int)
+            xx = (np.arange(w) * nw / w).astype(int)
+            lab = lab[:, yy][:, :, xx]
+        return lab
 
     def detect(self, images: np.ndarray) -> Detections:
         """uint8 (B, H, W[, 3]) -> Detections in ORIGINAL image coords."""
@@ -182,15 +222,9 @@ class TissueSegmenter(YoloRunner):
     def predict_labels(self, axial_slice: np.ndarray):
         """(H, W[, 3]) uint8 -> ((H, W) int32 label image, seg_time_s).
 
-        Instances paint the label image lowest-score-first so the highest
+        Instances paint lowest-score-first on device so the highest
         confidence instance wins overlaps (the reference's saturating
         cv2.add produces undefined colors on overlap — utils.py:519)."""
         t0 = time.time()
-        det, masks = self.segment(np.asarray(axial_slice)[None])
-        det_b, masks_b = det, masks[0]
-        labels = np.full(masks_b.shape[1:], -1, dtype=np.int32)
-        order = np.argsort(det_b.scores[0])  # ascending
-        for k in order:
-            if det_b.valid[0, k]:
-                labels[masks_b[k]] = int(det_b.classes[0, k])
+        labels = self.segment_labels(np.asarray(axial_slice)[None])[0]
         return labels, round(time.time() - t0, 3)

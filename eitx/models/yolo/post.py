@@ -202,3 +202,63 @@ def postprocess_segment(
 
     masks = jax.vmap(one)(proto, det)
     return det, masks
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw",))
+def compose_label_image(
+    proto: jnp.ndarray, det: Detections, out_hw: Tuple[int, int]
+) -> jnp.ndarray:
+    """Instance masks -> one (H, W) int32 label image, entirely on device.
+
+    Avoids materializing max_det full-resolution masks on the host (the
+    segmentation-throughput bottleneck): masks are composed at proto
+    resolution in score order (highest score painted last, winning
+    overlaps), and only the final label image is upsampled. -1 background.
+    """
+    hp, wp, _ = proto.shape
+    h, w = out_hw
+    m = jax.nn.sigmoid(
+        jnp.einsum("kn,hwn->khw", det.coefs.astype(proto.dtype), proto)
+    )
+    sx, sy = wp / w, hp / h
+    bx = det.boxes * jnp.array([sx, sy, sx, sy], proto.dtype)
+    xs = jnp.arange(wp, dtype=proto.dtype)[None, None, :]
+    ys = jnp.arange(hp, dtype=proto.dtype)[None, :, None]
+    inside = (
+        (xs >= bx[:, 0][:, None, None])
+        & (xs < bx[:, 2][:, None, None])
+        & (ys >= bx[:, 1][:, None, None])
+        & (ys < bx[:, 3][:, None, None])
+    )
+    hit = (m > 0.5) & inside & det.valid[:, None, None]  # (K, hp, wp)
+    order = jnp.argsort(det.scores)  # ascending: best painted last
+
+    def body(i, lab):
+        k = order[i]
+        return jnp.where(hit[k], det.classes[k], lab)
+
+    lab = jax.lax.fori_loop(
+        0, det.scores.shape[0], body,
+        jnp.full((hp, wp), -1, jnp.int32),
+    )
+    # nearest-neighbour upsample to the input resolution
+    return jax.image.resize(lab, (h, w), method="nearest")
+
+
+def postprocess_segment_labels(
+    outputs: Dict,
+    input_hw: Tuple[int, int],
+    conf: float = 0.3,
+    iou_thresh: float = 0.45,
+    max_det: int = 64,
+    reg_max: int = 16,
+) -> Tuple[Detections, jnp.ndarray]:
+    """Batch detect + composed (B, H, W) label images (device-side)."""
+    det = postprocess_detect(outputs, conf, iou_thresh, max_det, reg_max)
+    proto = outputs["proto"]
+
+    def one(p, d):
+        return compose_label_image(p, d, input_hw)
+
+    labels = jax.vmap(one)(proto, det)
+    return det, labels

