@@ -1,8 +1,16 @@
 from .assembly import ClassStiffness, assemble_stiffness, element_geometry
 from .electrodes import boundary_loop, place_electrodes_equal_spacing
-from .protocol import Protocol, create_protocol
-from .solver import forward_solve, forward_solve_batched
-from .forward import prepare_mesh_info, simulate_eit_monitoring, write_dat
+from .protocol import Protocol, abs_to_diff, create_protocol
+from .solver import forward_solve, forward_solve_batched, forward_solve_cg
+from .spectral import SpectralEITSolver
+from .admittance import forward_solve_admittance
+from .forward import (
+    compact_mesh_nodes,
+    load_mesh_txt,
+    prepare_mesh_info,
+    simulate_eit_monitoring,
+    write_dat,
+)
 
 __all__ = [
     "ClassStiffness",
@@ -11,9 +19,15 @@ __all__ = [
     "boundary_loop",
     "place_electrodes_equal_spacing",
     "Protocol",
+    "abs_to_diff",
     "create_protocol",
     "forward_solve",
     "forward_solve_batched",
+    "forward_solve_cg",
+    "SpectralEITSolver",
+    "forward_solve_admittance",
+    "compact_mesh_nodes",
+    "load_mesh_txt",
     "prepare_mesh_info",
     "simulate_eit_monitoring",
     "write_dat",

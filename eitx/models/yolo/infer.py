@@ -85,6 +85,7 @@ class YoloRunner:
         self._detect_fn = None
         self._segment_fn = None
         self._segment_labels_fn = None
+        self._segment_labels_key = None
 
     def _build_detect(self):
         model, variables = self.model, self.variables
@@ -109,39 +110,69 @@ class YoloRunner:
 
         return run
 
-    def _build_segment_labels(self):
+    def _build_segment_labels(self, in_hw, rgb: bool):
+        """Fully-fused throughput path: uint8 in, int8 labels out.
+
+        Preprocessing (cast, /255, channel replication, letterbox) runs
+        inside the jit so only the raw uint8 frames go host->device and
+        only int8 label images come back — on relay-attached TPUs the
+        transfer is the bottleneck, not the network."""
         model, variables = self.model, self.variables
         conf, iou, max_det = self.conf, self.iou, self.max_det
-        hw = (self.imgsz, self.imgsz)
+        imgsz = self.imgsz
+        h, w = in_hw
+        scale, pad_x, pad_y = letterbox_params(h, w, imgsz)
+        nh, nw = int(round(h * scale)), int(round(w * scale))
 
         @jax.jit
-        def run(x):
+        def run(x_u8):
+            x = x_u8.astype(jnp.float32) / 255.0
+            if not rgb:
+                x = jnp.repeat(x[..., None], 3, axis=-1)
+            b = x.shape[0]
+            if (nh, nw) != (h, w):
+                x = jax.image.resize(x, (b, nh, nw, 3), method="bilinear")
+            if (nh, nw) != (imgsz, imgsz):
+                canvas = jnp.full(
+                    (b, imgsz, imgsz, 3), 114.0 / 255.0, jnp.float32
+                )
+                x = jax.lax.dynamic_update_slice(canvas, x, (0, pad_y, pad_x, 0))
             out = model.apply(variables, x, train=False)
-            return postprocess_segment_labels(out, hw, conf, iou, max_det)
+            # compose at PROTO resolution (imgsz/4): the masks carry no
+            # finer detail, and returning the coarse image cuts the
+            # device->host transfer 16x (host does the nearest upsample)
+            _, labels = postprocess_segment_labels(
+                out, (imgsz // 4, imgsz // 4), conf, iou, max_det
+            )
+            return labels.astype(jnp.int8)
 
         return run
 
     def segment_labels(self, images: np.ndarray) -> np.ndarray:
         """uint8 (B, H, W[, 3]) -> (B, H, W) int32 label images.
 
-        The whole network + NMS + mask composition stays on device; only
-        the composed label image crosses to the host — this is the
-        batched-throughput path (>> segment() which materializes every
-        instance mask)."""
+        The batched-throughput path: network + NMS + mask composition +
+        letterboxing all on device; uint8 crosses in, int8 crosses out."""
         arr = np.asarray(images)
-        b, h, w = arr.shape[0], arr.shape[1], arr.shape[2]
-        x, scale, pad_x, pad_y = _prep_batch(arr, self.imgsz)
-        if self._segment_labels_fn is None:
-            self._segment_labels_fn = self._build_segment_labels()
-        _, labels = self._segment_labels_fn(x)
-        lab = np.asarray(labels)
+        if arr.dtype != np.uint8:
+            arr = np.clip(arr, 0, 255).astype(np.uint8)
+        rgb = arr.ndim == 4
+        h, w = arr.shape[1], arr.shape[2]
+        key = (h, w, rgb)
+        if self._segment_labels_fn is None or self._segment_labels_key != key:
+            self._segment_labels_fn = self._build_segment_labels((h, w), rgb)
+            self._segment_labels_key = key
+        coarse = np.asarray(self._segment_labels_fn(jnp.asarray(arr)))
+        # host-side un-letterbox + nearest upsample from proto resolution
+        scale, pad_x, pad_y = letterbox_params(h, w, self.imgsz)
         nh, nw = int(round(h * scale)), int(round(w * scale))
-        lab = lab[:, pad_y : pad_y + nh, pad_x : pad_x + nw]
-        if (nh, nw) != (h, w):
-            yy = (np.arange(h) * nh / h).astype(int)
-            xx = (np.arange(w) * nw / w).astype(int)
-            lab = lab[:, yy][:, :, xx]
-        return lab
+        q = 4  # proto stride
+        coarse = coarse[:, pad_y // q : (pad_y + nh) // q,
+                        pad_x // q : (pad_x + nw) // q]
+        ch, cw = coarse.shape[1], coarse.shape[2]
+        yy = np.minimum((np.arange(h) * ch // h), ch - 1)
+        xx = np.minimum((np.arange(w) * cw // w), cw - 1)
+        return coarse[:, yy][:, :, xx].astype(np.int32)
 
     def detect(self, images: np.ndarray) -> Detections:
         """uint8 (B, H, W[, 3]) -> Detections in ORIGINAL image coords."""
