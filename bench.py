@@ -115,10 +115,10 @@ def bench_eit_oracle(mesh, frames=4):
     return frames / dt
 
 
-def bench_segmentation(batch=64, imgsz=512, repeats=5):
+def bench_segmentation(batch=128, imgsz=512, repeats=5):
     from eitx.models.yolo.infer import TissueSegmenter
 
-    seg = TissueSegmenter(imgsz=imgsz, max_det=64)
+    seg = TissueSegmenter(imgsz=imgsz, max_det=64, dtype="bfloat16")
     imgs = (np.random.default_rng(0).uniform(0, 255, (batch, imgsz, imgsz))
             ).astype(np.uint8)
     seg.segment_labels(imgs)  # compile

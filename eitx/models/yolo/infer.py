@@ -66,6 +66,7 @@ class YoloRunner:
         iou: float = 0.45,
         max_det: int = 64,
         seed: int = 0,
+        dtype: str = "float32",
     ):
         self.spec = yolov11_spec(variant, nc=nc, segment=segment)
         self.model = YoloV11(self.spec)
@@ -73,6 +74,7 @@ class YoloRunner:
         self.conf = conf
         self.iou = iou
         self.max_det = max_det
+        self.compute_dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
         if weights:
             from .convert import load_weights
 
@@ -82,6 +84,16 @@ class YoloRunner:
                 jax.random.PRNGKey(seed),
                 jnp.zeros((1, imgsz, imgsz, 3), jnp.float32),
             )
+        if self.compute_dtype == jnp.bfloat16:
+            # bf16 inference: cast all float variables (weights AND batch
+            # stats) so promotion never lifts activations back to f32 and
+            # every conv hits the MXU at bf16 rate
+            def to_bf16(x):
+                if jnp.issubdtype(x.dtype, jnp.floating):
+                    return x.astype(jnp.bfloat16)
+                return x
+
+            self.variables = jax.tree_util.tree_map(to_bf16, self.variables)
         self._detect_fn = None
         self._segment_fn = None
         self._segment_labels_fn = None
@@ -124,9 +136,11 @@ class YoloRunner:
         scale, pad_x, pad_y = letterbox_params(h, w, imgsz)
         nh, nw = int(round(h * scale)), int(round(w * scale))
 
+        cdtype = self.compute_dtype
+
         @jax.jit
         def run(x_u8):
-            x = x_u8.astype(jnp.float32) / 255.0
+            x = x_u8.astype(cdtype) / 255.0
             if not rgb:
                 x = jnp.repeat(x[..., None], 3, axis=-1)
             b = x.shape[0]
@@ -134,7 +148,7 @@ class YoloRunner:
                 x = jax.image.resize(x, (b, nh, nw, 3), method="bilinear")
             if (nh, nw) != (imgsz, imgsz):
                 canvas = jnp.full(
-                    (b, imgsz, imgsz, 3), 114.0 / 255.0, jnp.float32
+                    (b, imgsz, imgsz, 3), 114.0 / 255.0, cdtype
                 )
                 x = jax.lax.dynamic_update_slice(canvas, x, (0, pad_y, pad_x, 0))
             out = model.apply(variables, x, train=False)

@@ -69,13 +69,14 @@ def decode_detections(
         if mask_levels is not None:
             nm = mask_levels[i].shape[-1]
             all_coefs.append(mask_levels[i].reshape(B, H * W, nm))
-    boxes = jnp.concatenate(all_boxes, axis=1)
-    scores = jnp.concatenate(all_scores, axis=1)
+    # f32 outputs regardless of compute dtype (bf16 inference path)
+    boxes = jnp.concatenate(all_boxes, axis=1).astype(jnp.float32)
+    scores = jnp.concatenate(all_scores, axis=1).astype(jnp.float32)
     classes = jnp.concatenate(all_classes, axis=1)
     if all_coefs:
-        coefs = jnp.concatenate(all_coefs, axis=1)
+        coefs = jnp.concatenate(all_coefs, axis=1).astype(jnp.float32)
     else:
-        coefs = jnp.zeros((*scores.shape, 1), scores.dtype)
+        coefs = jnp.zeros((*scores.shape, 1), jnp.float32)
     return boxes, scores, classes, coefs
 
 

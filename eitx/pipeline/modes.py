@@ -59,11 +59,11 @@ class Pipeline:
         m = config.model
         self.ribs = RibsDetector(
             weights=m.ribs_weights, conf=m.ribs_conf,
-            max_det=m.max_detections, **model_kw,
+            max_det=m.max_detections, dtype=m.dtype, **model_kw,
         )
         self.seg_512 = TissueSegmenter(
             512, weights=m.axial_weights_512, conf=m.axial_conf,
-            max_det=m.max_detections, **model_kw,
+            max_det=m.max_detections, dtype=m.dtype, **model_kw,
         )
         self._seg_256: Optional[TissueSegmenter] = None
         self._model_kw = model_kw
@@ -77,6 +77,7 @@ class Pipeline:
                     weights=self.config.model.axial_weights_256,
                     conf=self.config.model.axial_conf,
                     max_det=self.config.model.max_detections,
+                    dtype=self.config.model.dtype,
                     **self._model_kw,
                 )
             return self._seg_256

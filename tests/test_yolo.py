@@ -240,3 +240,27 @@ def test_segmenter_end_to_end_random_weights():
     assert labels.shape == (IMG, IMG)
     assert labels.min() >= -1 and labels.max() < 4
     assert t >= 0
+
+
+def test_bf16_inference_agrees_with_f32():
+    import jax
+
+    seg32 = TissueSegmenter(imgsz=IMG, max_det=16, conf=0.0, seed=7)
+    seg16 = TissueSegmenter(imgsz=IMG, max_det=16, conf=0.0, seed=7,
+                            dtype="bfloat16")
+    img = (np.random.default_rng(3).uniform(0, 255, (2, IMG, IMG))).astype(
+        np.uint8
+    )
+    # raw head outputs correlate strongly between precisions
+    x32, *_ = __import__("eitx.models.yolo.infer", fromlist=["_prep_batch"])._prep_batch(img, IMG)
+    out32 = seg32.model.apply(seg32.variables, x32, train=False)
+    out16 = seg16.model.apply(
+        seg16.variables, x32.astype(jnp.bfloat16), train=False
+    )
+    a = np.asarray(out32["levels"][0][1], np.float32).ravel()
+    b = np.asarray(out16["levels"][0][1].astype(jnp.float32)).ravel()
+    cos = np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
+    assert cos > 0.98, cos
+    # label path runs end to end in bf16
+    lab = seg16.segment_labels(img)
+    assert lab.shape == (2, IMG, IMG)
