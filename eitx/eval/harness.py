@@ -86,3 +86,26 @@ class PixelLevelEvaluator:
 
     def report(self, limit: Optional[int] = None) -> str:
         return print_results(self.evaluate(limit))
+
+
+def main(argv=None):  # pragma: no cover - thin CLI
+    """CLI: python -m eitx.eval.harness --images d/images --labels d/labels
+    [--weights model.pt] [--imgsz 512]"""
+    import argparse
+
+    p = argparse.ArgumentParser(description="eitx pixel-level evaluation")
+    p.add_argument("--images", required=True)
+    p.add_argument("--labels", required=True)
+    p.add_argument("--weights", default=None)
+    p.add_argument("--imgsz", type=int, default=512)
+    p.add_argument("--limit", type=int, default=None)
+    args = p.parse_args(argv)
+    ev = PixelLevelEvaluator(
+        model_path=args.weights, images_dir=args.images,
+        labels_dir=args.labels, img_size=args.imgsz,
+    )
+    ev.report(limit=args.limit)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

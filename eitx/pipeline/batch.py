@@ -96,3 +96,33 @@ def generate_batch(
             logger.error("failed %s: %s", subject_id, e)
         _save_manifest(out_dir, manifest)
     return manifest
+
+
+def main(argv=None):  # pragma: no cover - thin CLI
+    """CLI: python -m eitx.pipeline.batch out_dir mesh1.txt mesh2.txt ...
+
+    Each mesh file is a FEMM-format text mesh (subject id = file stem).
+    """
+    import argparse
+
+    from ..mesh.export import read_mesh_txt
+
+    p = argparse.ArgumentParser(description="eitx batch dataset generation")
+    p.add_argument("out_dir")
+    p.add_argument("meshes", nargs="+")
+    p.add_argument("--n-points", type=int, default=100)
+    p.add_argument("--no-resume", action="store_true")
+    args = p.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    subjects = []
+    for path in args.meshes:
+        sid = os.path.splitext(os.path.basename(path))[0]
+        subjects.append((sid, read_mesh_txt(path)))
+    cfg = SimulationConfig(n_points=args.n_points)
+    man = generate_batch(subjects, args.out_dir, cfg, resume=not args.no_resume)
+    done = sum(1 for s in man["subjects"].values() if s["status"] == "done")
+    print(f"{done}/{len(man['subjects'])} subjects done")
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

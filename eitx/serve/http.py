@@ -34,7 +34,11 @@ def _parse_multipart(body: bytes, content_type: str) -> bytes:
             continue
         head, payload = part.split(b"\r\n\r\n", 1)
         if b"filename=" in head or b'name="file"' in head:
-            return payload.rstrip(b"\r\n-")
+            # strip exactly the CRLF that precedes the next boundary —
+            # a blanket rstrip could eat legitimate payload bytes
+            if payload.endswith(b"\r\n"):
+                payload = payload[:-2]
+            return payload
     raise IngestError("no file part in multipart body")
 
 
