@@ -67,7 +67,7 @@ def bench_eit(mesh, frames=1200, repeats=3):
     proto = create_protocol(16, 1, 1, "std")
     cs = ClassStiffness.build(
         info.node, info.element, info.cond, n_classes=5,
-        pad_nodes_to=256, pad_elems_to=2048,
+        pad_nodes_to=1024, pad_elems_to=8192,
     )
     alphas = jnp.asarray(sigma[:, classes.name_to_id()["lung"]], jnp.float32)
 
@@ -88,7 +88,20 @@ def bench_eit(mesh, frames=1200, repeats=3):
         v.block_until_ready()
         times.append(time.perf_counter() - t0)
     best = min(times)
-    return frames / best, info.node.shape[0], np.asarray(v)
+
+    # marginal solve-only rate: once a subject's pencil is factored, how
+    # fast do additional breathing frames come? (long monitorings /
+    # N_minutes >> 1 amortize here)
+    solver = SpectralEITSolver.build(
+        cs, sigma[0], classes.name_to_id()["lung"], el,
+        proto.ex_mat, proto.meas_mat, float(np.mean(sigma[:, 2])),
+    )
+    big = jnp.tile(alphas, 10)  # 12000 frames
+    solver.solve(big).block_until_ready()
+    t0 = time.perf_counter()
+    np.asarray(solver.solve(big).sum())
+    solve_only = big.shape[0] / (time.perf_counter() - t0)
+    return frames / best, info.node.shape[0], np.asarray(v), solve_only
 
 
 def bench_eit_oracle(mesh, frames=4):
@@ -150,7 +163,7 @@ def bench_segmentation(batch=128, imgsz=512, repeats=5):
 def main():
     t_start = time.time()
     mesh = build_thorax_mesh()
-    frames_per_sec, n_nodes, v = bench_eit(mesh)
+    frames_per_sec, n_nodes, v, solve_only_fps = bench_eit(mesh)
     oracle_fps = bench_eit_oracle(mesh)
     baseline = oracle_fps * (os.cpu_count() or 1)  # credit the ref's pool
     try:
@@ -168,6 +181,7 @@ def main():
                            f"({os.cpu_count()} cores)",
         "mesh_nodes": int(n_nodes),
         "workload_frames": 1200,
+        "spectral_solve_only_frames_per_sec": round(solve_only_fps, 1),
         "segmentation_slices_per_sec_e2e": (
             round(seg_fps, 1) if seg_fps else None
         ),

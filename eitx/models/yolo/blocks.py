@@ -115,8 +115,11 @@ class C3k2(nn.Module):
             if self.c3k:
                 m = C3k(c, 2, self.shortcut, self.g, name=f"m_{i}")
             else:
+                # C2f bottlenecks run at full hidden width (ultralytics
+                # passes e=1.0 here; 0.5 would halve cv1 and break
+                # checkpoint shape compatibility)
                 m = Bottleneck(
-                    c, self.shortcut, self.g, k=(3, 3), e=0.5, name=f"m_{i}"
+                    c, self.shortcut, self.g, k=(3, 3), e=1.0, name=f"m_{i}"
                 )
             ys.append(m(ys[-1], train))
         return Conv(self.c2, 1, name="cv2")(
