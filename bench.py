@@ -161,6 +161,9 @@ def bench_segmentation(batch=128, imgsz=512, repeats=5):
 
 
 def main():
+    from eitx.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     t_start = time.time()
     mesh = build_thorax_mesh()
     frames_per_sec, n_nodes, v, solve_only_fps = bench_eit(mesh)

@@ -191,6 +191,10 @@ def main():  # pragma: no cover
     args = p.parse_args()
     logging.basicConfig(level=logging.INFO)
 
+    from ..core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from ..core.config import ModelConfig, PipelineConfig
     from ..pipeline import Pipeline
 
