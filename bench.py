@@ -104,8 +104,12 @@ def bench_eit(mesh, frames=1200, repeats=3):
     return frames / best, info.node.shape[0], np.asarray(v), solve_only
 
 
-def bench_eit_oracle(mesh, frames=4):
-    """Single-core scipy frames/sec (pyeit-equivalent numerical path)."""
+def bench_eit_oracle(mesh, frames=7):
+    """Single-core scipy frames/sec (pyeit-equivalent numerical path).
+
+    Median per-frame time with the first (cache-cold) frame dropped, so
+    concurrent host load cannot skew the baseline much in either
+    direction."""
     from eitx.core.config import ClassMap
     from eitx.fem.electrodes import place_electrodes_equal_spacing
     from eitx.fem.forward import compact_mesh_nodes, prepare_mesh_info
@@ -118,14 +122,15 @@ def bench_eit_oracle(mesh, frames=4):
     )
     proto = create_protocol(16, 1, 1, "std")
     cond = np.where(info.cond == 2, 0.15, 0.3).astype(np.float64)
-    t0 = time.perf_counter()
+    per_frame = []
     for i in range(frames):
+        t0 = time.perf_counter()
         forward_solve_oracle(
             info.node, info.element, cond * (1 + 0.1 * i), el,
             proto.ex_mat, proto.meas_mat,
         )
-    dt = time.perf_counter() - t0
-    return frames / dt
+        per_frame.append(time.perf_counter() - t0)
+    return 1.0 / float(np.median(per_frame[1:]))
 
 
 def bench_segmentation(batch=128, imgsz=512, repeats=5):

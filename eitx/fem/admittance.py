@@ -22,7 +22,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .assembly import assemble_stiffness
 from .solver import _measure, _rhs_matrix

@@ -10,7 +10,6 @@ pipeline), walking the boundary loop in counter-clockwise orientation.
 from __future__ import annotations
 
 import math
-from typing import Tuple
 
 import numpy as np
 

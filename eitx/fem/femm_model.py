@@ -13,8 +13,7 @@ from __future__ import annotations
 
 import collections
 import json
-import math
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

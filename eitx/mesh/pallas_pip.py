@@ -22,7 +22,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 try:  # pallas import can fail on exotic backends; fall back silently
     from jax.experimental import pallas as pl

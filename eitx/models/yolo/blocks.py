@@ -9,7 +9,7 @@ HWIO kernels — XLA's native TPU layout — instead of torch's NCHW/OIHW.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

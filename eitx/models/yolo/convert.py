@@ -13,7 +13,6 @@ deconvolution.
 
 from __future__ import annotations
 
-import io
 import pickle
 from typing import Dict, Tuple
 

@@ -10,7 +10,6 @@ plumbing tests; real weights convert via convert.py).
 
 from __future__ import annotations
 
-import functools
 import time
 from typing import Optional, Tuple
 

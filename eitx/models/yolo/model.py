@@ -14,9 +14,8 @@ the network itself stays a pure jit-able function.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

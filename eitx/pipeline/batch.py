@@ -15,9 +15,8 @@ import json
 import logging
 import os
 import time
-from typing import Dict, Iterable, Optional, Tuple
+from typing import Dict, Iterable, Tuple
 
-import numpy as np
 
 from ..core.config import ClassMap, SimulationConfig
 from ..fem.forward import simulate_eit_monitoring

@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import os
 
-import numpy as np
-
 from ..physio.materials import generate_material_tables
 
 DATA_DIR = os.path.join(os.path.dirname(__file__), "..", "data")

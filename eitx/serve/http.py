@@ -176,7 +176,6 @@ def make_server(
 
 def main():  # pragma: no cover
     import argparse
-    import dataclasses
     import os
 
     p = argparse.ArgumentParser(description="eitx CT->EIT service")
