@@ -65,9 +65,12 @@ def bench_eit(mesh, frames=1200, repeats=3):
         info.node, info.element, 16, starting_angle=np.pi
     )
     proto = create_protocol(16, 1, 1, "std")
+    # Single-subject job: pad to the subject's own fine bucket (the coarse
+    # 1024 default exists for cross-subject compile reuse; here it would
+    # only inflate the one-off eigh from N=2304 to N=3072).
     cs = ClassStiffness.build(
         info.node, info.element, info.cond, n_classes=5,
-        pad_nodes_to=1024, pad_elems_to=8192,
+        pad_nodes_to=256, pad_elems_to=2048,
     )
     alphas = jnp.asarray(sigma[:, classes.name_to_id()["lung"]], jnp.float32)
 

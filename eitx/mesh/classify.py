@@ -107,6 +107,11 @@ def _min_dist_to_ring(points: jnp.ndarray, ring: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(((points[:, None, :] - proj) ** 2).sum(-1)).min(axis=1)
 
 
+import os
+
+_USE_PALLAS = os.environ.get("EITX_PALLAS") == "1"
+
+
 @functools.partial(jax.jit, static_argnames=("outer_class",))
 def _classify_kernel(verts, bary, polys, cids, outer_class):
     """One fused program: sample -> containment -> decision rule.
@@ -117,7 +122,16 @@ def _classify_kernel(verts, bary, polys, cids, outer_class):
     M = verts.shape[0]
     samples = jnp.einsum("sk,mkd->msd", bary, verts)  # (M, S, 2)
     S = samples.shape[1]
-    inside = _points_in_polys(samples.reshape(-1, 2), polys)
+    if _USE_PALLAS and jax.default_backend() == "tpu":
+        # Pallas fast path: streams the edge axis through VMEM instead of
+        # materializing the (Q, C, P) crossing tensor (EITX_PALLAS=1;
+        # verified bit-exact vs the jnp path on TPU). Compiled-mode pallas
+        # is TPU-only; CPU falls through to the jnp path.
+        from .pallas_pip import points_in_polys_pallas
+
+        inside = points_in_polys_pallas(samples.reshape(-1, 2), polys)
+    else:
+        inside = _points_in_polys(samples.reshape(-1, 2), polys)
     inside = inside.reshape(M, S, -1)  # (M, S, C)
     frac = inside.mean(axis=1)
     centroid_in = inside[:, 0, :]  # first sample is the centroid

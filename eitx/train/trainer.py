@@ -253,3 +253,54 @@ class Trainer:
         )
         self.state = TrainState(params, stats, opt_state, self.state.step + 1)
         return {k: float(v) for k, v in metrics.items()}
+
+
+class EMA:
+    """Exponential moving average of parameters (deployment weights)."""
+
+    def __init__(self, params, decay: float = 0.999):
+        self.decay = decay
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    def update(self, params):
+        d = self.decay
+        self.params = jax.tree_util.tree_map(
+            lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+            self.params,
+            params,
+        )
+        return self.params
+
+
+def fit(
+    trainer: Trainer,
+    data_iter,
+    steps: int,
+    ema_decay: float = 0.999,
+    log_every: int = 50,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 500,
+):
+    """Minimal training loop: steps batches from ``data_iter`` with EMA
+    and periodic checkpointing. Returns (final metrics, EMA params)."""
+    import logging
+
+    log = logging.getLogger("eitx.train")
+    ema = EMA(trainer.state.params, ema_decay)
+    metrics = {}
+    for step in range(steps):
+        batch = next(data_iter)
+        metrics = trainer.train_step(batch)
+        ema.update(trainer.state.params)
+        if log_every and step % log_every == 0:
+            log.info("step %d: %s", step,
+                     {k: round(v, 4) for k, v in metrics.items()})
+        if checkpoint_path and (step + 1) % checkpoint_every == 0:
+            from .checkpoint import save_checkpoint
+
+            save_checkpoint(checkpoint_path, trainer.state)
+    if checkpoint_path:
+        from .checkpoint import save_checkpoint
+
+        save_checkpoint(checkpoint_path, trainer.state)
+    return metrics, ema.params

@@ -80,3 +80,30 @@ def test_shard_helpers():
     ps = shard_params_fsdp(params, mesh)
     assert not ps["w"].sharding.is_fully_replicated
     assert ps["b"].sharding.is_fully_replicated
+
+
+def test_fit_loop_with_ema_and_checkpoint(tmp_path):
+    from eitx.train.trainer import fit
+
+    cfg = TrainConfig(imgsz=IMG, variant="n", total_steps=6, warmup_steps=0,
+                      max_instances=4)
+    tr = Trainer(cfg)
+
+    def batches():
+        i = 0
+        while True:
+            yield synthetic_ct_batch(batch=2, imgsz=IMG, max_instances=4,
+                                     seed=i)
+            i += 1
+
+    ckpt = str(tmp_path / "fit.msgpack")
+    metrics, ema_params = fit(tr, batches(), steps=4, log_every=0,
+                              checkpoint_path=ckpt, checkpoint_every=2)
+    assert np.isfinite(metrics["loss"])
+    import os
+
+    assert os.path.exists(ckpt)
+    # EMA params track but differ from the raw params after updates
+    raw = jax.tree_util.tree_leaves(jax.device_get(tr.state.params))
+    ema = jax.tree_util.tree_leaves(jax.device_get(ema_params))
+    assert any(not np.allclose(a, b) for a, b in zip(raw, ema))
