@@ -61,6 +61,44 @@ def build_axial_dataset(zip_paths, out_dir: str, window=(40.0, 400.0)):
     return n
 
 
+def build_nii_dataset(nii_paths, out_dir: str, window=(40.0, 400.0),
+                      stride: int = 1):
+    """NIfTI volumes -> windowed axial slices + HU pseudo-labels
+    (create_axial_dataset_from_nii parity: data is already HU, spacing
+    recorded from pixdim, every ``stride``-th slice)."""
+    from ..image import body_mask_from_hu, window_normalize
+    from ..io.nifti import read_nifti
+    from .pseudo_label import labels_to_yolo_lines, pseudo_label_stack
+
+    os.makedirs(os.path.join(out_dir, "images"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "labels"), exist_ok=True)
+    n = 0
+    for path in nii_paths:
+        vol, pixdim = read_nifti(path)
+        stem = os.path.splitext(os.path.basename(path))[0].replace(".nii", "")
+        sel = range(0, vol.shape[-1], stride)
+        hu_stack = np.stack(
+            [np.fliplr(vol[:, :, k].T) for k in sel]
+        ).astype(np.float32)  # rotate 90 CW like the serving path
+        masks = np.stack(
+            [np.asarray(body_mask_from_hu(hu)) for hu in hu_stack]
+        )
+        labels = pseudo_label_stack(hu_stack, masks)
+        norms = np.asarray(window_normalize(hu_stack, *window))
+        with open(os.path.join(out_dir, f"{stem}_spacing.txt"), "w") as fh:
+            fh.write(f"{pixdim[1]} {pixdim[2]}\n")
+        for j, k in enumerate(sel):
+            img = norms[j] * (masks[j] > 0)[::-1, ::-1]
+            name = f"{stem}_{k:04d}"
+            _save_image(os.path.join(out_dir, "images", name + ".png"), img)
+            lines = labels_to_yolo_lines(labels[j])
+            with open(os.path.join(out_dir, "labels", name + ".txt"), "w") as fh:
+                fh.write("\n".join(lines))
+            n += 1
+    logger.info("wrote %d nii samples to %s", n, out_dir)
+    return n
+
+
 def build_frontal_dataset(zip_paths, out_dir: str):
     from ..image.normalize import minmax_normalize_u8
     from ..image.orientation import axial_stack_to_frontal, stack_axial_slices
@@ -114,6 +152,10 @@ def main(argv=None):  # pragma: no cover - thin CLI
     ax = sub.add_parser("axial")
     ax.add_argument("zips", nargs="+")
     ax.add_argument("--out", required=True)
+    ni = sub.add_parser("nii")
+    ni.add_argument("niis", nargs="+")
+    ni.add_argument("--out", required=True)
+    ni.add_argument("--stride", type=int, default=1)
     fr = sub.add_parser("frontal")
     fr.add_argument("zips", nargs="+")
     fr.add_argument("--out", required=True)
@@ -125,6 +167,8 @@ def main(argv=None):  # pragma: no cover - thin CLI
     logging.basicConfig(level=logging.INFO)
     if args.cmd == "axial":
         build_axial_dataset(args.zips, args.out)
+    elif args.cmd == "nii":
+        build_nii_dataset(args.niis, args.out, stride=args.stride)
     elif args.cmd == "frontal":
         build_frontal_dataset(args.zips, args.out)
     else:

@@ -88,3 +88,21 @@ def test_build_frontal_dataset(tmp_path):
     n = build_frontal_dataset([str(zp)], str(out))
     assert n == 64  # one frontal image per column of the 64-wide volume
     assert len(os.listdir(out)) == 64
+
+
+def test_build_nii_dataset(tmp_path):
+    from eitx.io.nifti import write_nifti
+    from eitx.scripts.build_datasets import build_nii_dataset
+
+    hu, _ = _phantom_hu(96, 96)
+    vol = np.stack([hu.astype(np.int16)] * 4, axis=-1)
+    p = tmp_path / "scan.nii.gz"
+    p.write_bytes(write_nifti(vol, pixdim=(1, 0.7, 0.7, 1)))
+    out = tmp_path / "ds"
+    n = build_nii_dataset([str(p)], str(out), stride=2)
+    assert n == 2
+    assert len(os.listdir(out / "images")) == 2
+    spacing = (out / "scan_spacing.txt").read_text().split()
+    assert abs(float(spacing[0]) - 0.7) < 1e-5
+    labels = list((out / "labels").iterdir())
+    assert any(pth.stat().st_size > 0 for pth in labels)
