@@ -146,6 +146,40 @@ def auto_label_images(image_paths, out_dir: str, weights: Optional[str],
     return n
 
 
+def auto_label_ribs(image_paths, out_dir: str, weights: Optional[str],
+                    conf: float = 0.5):
+    """Model-assisted rib box labeling: run the rib detector over frontal
+    images and emit YOLO *detection* labels "cls cx cy w h" (normalized) —
+    create_rib_labels.py parity."""
+    from ..io.images import decode_image
+    from ..models.yolo.infer import RibsDetector
+
+    os.makedirs(out_dir, exist_ok=True)
+    det_model = RibsDetector(weights=weights, conf=conf)
+    n = 0
+    for path in image_paths:
+        with open(path, "rb") as fh:
+            img = decode_image(fh.read())
+        if img.ndim == 3:
+            img = img[..., 0]
+        h, w = img.shape
+        det = det_model.predict(img)
+        lines = []
+        for box, valid in zip(det.boxes, det.valid):
+            if not valid:
+                continue
+            x1, y1, x2, y2 = box
+            cx, cy = (x1 + x2) / 2 / w, (y1 + y2) / 2 / h
+            bw, bh = (x2 - x1) / w, (y2 - y1) / h
+            lines.append(f"0 {cx:.6f} {cy:.6f} {bw:.6f} {bh:.6f}")
+        stem = os.path.splitext(os.path.basename(path))[0]
+        with open(os.path.join(out_dir, stem + ".txt"), "w") as fh:
+            fh.write("\n".join(lines))
+        n += 1
+    logger.info("rib-labeled %d images into %s", n, out_dir)
+    return n
+
+
 def main(argv=None):  # pragma: no cover - thin CLI
     p = argparse.ArgumentParser(description="eitx dataset builders")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -163,6 +197,10 @@ def main(argv=None):  # pragma: no cover - thin CLI
     al.add_argument("images", nargs="+")
     al.add_argument("--out", required=True)
     al.add_argument("--weights", default=None)
+    rl = sub.add_parser("riblabel")
+    rl.add_argument("images", nargs="+")
+    rl.add_argument("--out", required=True)
+    rl.add_argument("--weights", default=None)
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     if args.cmd == "axial":
@@ -171,6 +209,8 @@ def main(argv=None):  # pragma: no cover - thin CLI
         build_nii_dataset(args.niis, args.out, stride=args.stride)
     elif args.cmd == "frontal":
         build_frontal_dataset(args.zips, args.out)
+    elif args.cmd == "riblabel":
+        auto_label_ribs(args.images, args.out, args.weights)
     else:
         auto_label_images(args.images, args.out, args.weights)
 
