@@ -130,6 +130,11 @@ class SimulationConfig:
     # solves every breathing frame in O(N*E); 'cholesky' batch-factorizes
     # per frame; 'cg' is the matrix-free fallback for very large meshes.
     solver: str = "spectral"
+    # Electrode model: 'point' (pyeit parity) or 'cem' (complete electrode
+    # model with contact impedance and finite electrode coverage).
+    electrode_model: str = "point"
+    z_contact: float = 1e-2
+    electrode_coverage: float = 0.5
 
 
 @dataclass(frozen=True)

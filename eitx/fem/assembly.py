@@ -105,6 +105,7 @@ class ClassStiffness:
         dtype=jnp.float32,
         pad_nodes_to: int = 1,
         pad_elems_to: int = 1,
+        ground_ref: bool = True,
     ) -> "ClassStiffness":
         nodes = np.asarray(nodes, dtype=np.float64)
         tris = np.asarray(tris, dtype=np.int64)
@@ -132,11 +133,13 @@ class ClassStiffness:
             return assemble_stiffness(nodes_j, tris_j, w, n_pad)
 
         k = jax.vmap(one_class, in_axes=1)(onehot)  # (C, N, N)
-        # Ground the reference node inside each class matrix.
-        k = k.at[:, ref_node, :].set(0.0)
-        k = k.at[:, :, ref_node].set(0.0)
         diag_fix = np.zeros((n_pad,), dtype=np.float64)
-        diag_fix[ref_node] = 1.0
+        if ground_ref:
+            # Ground the reference node inside each class matrix (point-
+            # electrode gauge; the CEM grounds an electrode instead).
+            k = k.at[:, ref_node, :].set(0.0)
+            k = k.at[:, :, ref_node].set(0.0)
+            diag_fix[ref_node] = 1.0
         diag_fix[n_real:] = 1.0
         return cls(
             k_class=k,

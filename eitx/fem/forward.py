@@ -170,6 +170,33 @@ def simulate_eit_monitoring(
         cfg.n_electrodes, cfg.dist_exc, cfg.step_meas, cfg.parser_meas
     )
     dtype = jnp.float64 if cfg.precision == "f64" else jnp.float32
+    if cfg.electrode_model == "cem":
+        from .cem import build_cem_system, forward_solve_cem
+
+        cs_raw = ClassStiffness.build(
+            mesh.node,
+            mesh.element,
+            mesh.cond,
+            n_classes=classes.n_tissues,
+            dtype=dtype,
+            ground_ref=False,
+        )
+        system = build_cem_system(
+            cs_raw,
+            mesh.node,
+            mesh.element,
+            n_electrodes=cfg.n_electrodes,
+            z_contact=cfg.z_contact,
+            coverage=cfg.electrode_coverage,
+            starting_angle=math.radians(cfg.starting_angle_deg),
+            dtype=dtype,
+        )
+        v = forward_solve_cem(system, sigma, proto.ex_mat, proto.meas_mat)
+        v = np.asarray(v).reshape(cfg.n_points, -1)
+        if save_to_file and filename is not None:
+            write_dat(filename, v, n_repeats=cfg.n_spir * cfg.n_minutes)
+        return v, time.time() - t0
+
     cs = ClassStiffness.build(
         mesh.node,
         mesh.element,
