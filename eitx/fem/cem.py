@@ -213,3 +213,37 @@ def forward_solve_cem(
         jnp.asarray(meas_mat),
         system.n_nodes,
     )
+
+
+def spectral_cem_solver(
+    system: CEMSystem,
+    sigma_base: np.ndarray,
+    lung_class: int,
+    ex_mat: np.ndarray,
+    meas_mat: np.ndarray,
+    alpha0: float,
+    current: float = 1.0,
+):
+    """Spectral pencil factorization of the CEM system: per-frame cost
+    drops to the same O(D * n_exc) as the point-electrode path."""
+    from .spectral import SpectralEITSolver
+
+    dim = system.dim
+    n = system.n_nodes
+    ex = np.asarray(ex_mat)
+    rhs = np.zeros((dim, ex.shape[0]), dtype=np.float64)
+    for i, (a, b) in enumerate(ex):
+        rhs[n + a, i] = current
+        rhs[n + b, i] = -current
+    rhs[dim - 1, :] = 0.0  # grounded electrode row
+    readout = np.arange(n, dim, dtype=np.int32)
+    return SpectralEITSolver.build_general(
+        system.k_class,
+        system.fixed,
+        sigma_base,
+        lung_class,
+        jnp.asarray(rhs, system.k_class.dtype),
+        readout,
+        meas_mat,
+        alpha0,
+    )

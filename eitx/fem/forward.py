@@ -191,7 +191,18 @@ def simulate_eit_monitoring(
             starting_angle=math.radians(cfg.starting_angle_deg),
             dtype=dtype,
         )
-        v = forward_solve_cem(system, sigma, proto.ex_mat, proto.meas_mat)
+        if cfg.solver == "spectral":
+            from .cem import spectral_cem_solver
+
+            lung_col = classes.name_to_id()["lung"]
+            alphas = sigma[:, lung_col]
+            solver = spectral_cem_solver(
+                system, sigma[0], lung_col, proto.ex_mat, proto.meas_mat,
+                alpha0=float(alphas.mean()),
+            )
+            v = solver.solve(alphas)
+        else:
+            v = forward_solve_cem(system, sigma, proto.ex_mat, proto.meas_mat)
         v = np.asarray(v).reshape(cfg.n_points, -1)
         if save_to_file and filename is not None:
             write_dat(filename, v, n_repeats=cfg.n_spir * cfg.n_minutes)

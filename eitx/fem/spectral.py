@@ -67,6 +67,36 @@ class SpectralEITSolver:
             meas_mat=jnp.asarray(meas_mat),
         )
 
+    @classmethod
+    def build_general(
+        cls,
+        k_class: jnp.ndarray,  # (C, D, D) pencil matrices
+        fixed: jnp.ndarray,  # (D, D) conductivity-independent part
+        sigma_base: np.ndarray,
+        lung_class: int,
+        rhs: jnp.ndarray,  # (D, n_exc) injection block
+        readout_rows,  # (E,) rows whose potentials are measured
+        meas_mat,
+        alpha0: float,
+    ) -> "SpectralEITSolver":
+        """Spectral factorization for any SPD pencil K(a) = K_base + dK*a —
+        used by the complete electrode model, whose augmented system keeps
+        the same one-parameter structure (boundary blocks live in
+        ``fixed``; readout rows are the electrode potentials)."""
+        lam, y0, z = _spectral_setup_general(
+            k_class,
+            fixed,
+            jnp.asarray(sigma_base, k_class.dtype),
+            lung_class,
+            jnp.asarray(rhs, k_class.dtype),
+            jnp.asarray(readout_rows),
+            jnp.asarray(alpha0, k_class.dtype),
+        )
+        return cls(
+            lam=lam, y0=y0, z=z, alpha0=float(alpha0),
+            meas_mat=jnp.asarray(meas_mat),
+        )
+
     def solve(self, lung_alphas) -> jnp.ndarray:
         """(T,) lung conductivities -> (T, n_exc, n_meas) voltages."""
         return _spectral_solve(
@@ -101,6 +131,28 @@ def _spectral_setup(
         # Z = (L^-T Q)[el_pos] : solve L^T W = Q, take electrode rows
         W = jax.scipy.linalg.solve_triangular(L.T, Q, lower=False)
         z = W[el_pos, :]
+        return lam, y0, z
+
+
+@functools.partial(jax.jit, static_argnames=("lung_class",))
+def _spectral_setup_general(
+    k_class, fixed, sigma_base, lung_class, rhs, readout_rows, alpha0
+):
+    with jax.default_matmul_precision("highest"):
+        sig = sigma_base.at[lung_class].set(alpha0)
+        K_base = jnp.tensordot(
+            sig, k_class, axes=([0], [0]),
+            precision=jax.lax.Precision.HIGHEST,
+        ) + fixed
+        Kl = k_class[lung_class]
+        L = jnp.linalg.cholesky(K_base)
+        X = jax.scipy.linalg.solve_triangular(L, Kl, lower=True)
+        B = jax.scipy.linalg.solve_triangular(L, X.T, lower=True).T
+        B = 0.5 * (B + B.T)
+        lam, Q = jnp.linalg.eigh(B)
+        y0 = Q.T @ jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+        W = jax.scipy.linalg.solve_triangular(L.T, Q, lower=False)
+        z = W[readout_rows, :]
         return lam, y0, z
 
 

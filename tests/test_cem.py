@@ -107,3 +107,22 @@ def test_simulate_monitoring_with_cem_electrodes():
     assert v.shape == (4, 16 * 13)
     assert np.isfinite(v).all()
     assert np.std(v, axis=0).max() > 0
+
+
+def test_cem_spectral_matches_direct():
+    from eitx.fem.cem import spectral_cem_solver
+
+    nodes, tris, cls, cs = _setup()
+    sys_ = build_cem_system(cs, nodes, tris, 16, z_contact=1e-2)
+    p = create_protocol(16, 1, 1, "std")
+    base = np.array([0.006, 0.35, 0.12, 0.017, 0.4])
+    alphas = np.linspace(0.06, 0.18, 5)
+    sigma = np.tile(base, (5, 1))
+    sigma[:, 2] = alphas
+    v_direct = np.asarray(forward_solve_cem(sys_, sigma, p.ex_mat, p.meas_mat))
+    solver = spectral_cem_solver(sys_, base, 2, p.ex_mat, p.meas_mat,
+                                 alpha0=float(alphas.mean()))
+    v_spec = np.asarray(solver.solve(alphas))
+    scale = np.abs(v_direct).max()
+    err = np.abs(v_spec - v_direct).max() / scale
+    assert err < 3e-3, err
