@@ -176,7 +176,11 @@ def main():
     mesh = build_thorax_mesh()
     frames_per_sec, n_nodes, v, solve_only_fps = bench_eit(mesh)
     oracle_fps = bench_eit_oracle(mesh)
-    baseline = oracle_fps * (os.cpu_count() or 1)  # credit the ref's pool
+    # Credit the reference's multiprocessing pool at its DOCUMENTED min
+    # spec (8-core x86, README.en.md:28-32) even when this host has fewer
+    # cores, so vs_baseline is never flattered by a small host.
+    baseline_cores = max(8, os.cpu_count() or 1)
+    baseline = oracle_fps * baseline_cores
     try:
         seg_fps, seg_dev_fps = bench_segmentation()
     except Exception as e:  # segmentation bench is best-effort
@@ -188,8 +192,9 @@ def main():
         "unit": "frames/sec",
         "vs_baseline": round(frames_per_sec / baseline, 2),
         "baseline_frames_per_sec": round(baseline, 1),
-        "baseline_method": "scipy sparse LU oracle x cpu_count "
-                           f"({os.cpu_count()} cores)",
+        "baseline_method": "scipy sparse LU oracle x max(8, cpu_count) "
+                           f"({baseline_cores} cores; ref min spec is "
+                           "8-core)",
         "mesh_nodes": int(n_nodes),
         "workload_frames": 1200,
         "spectral_solve_only_frames_per_sec": round(solve_only_fps, 1),

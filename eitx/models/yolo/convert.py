@@ -2,18 +2,17 @@
 
 The reference loads three released YOLOv11s checkpoints through the
 ultralytics runtime (ai_tools.py:69-71, kt_service_config.py:1-3). Here
-the torch pickle is read WITHOUT ultralytics installed: a permissive
-unpickler substitutes stub classes for unknown modules, then the
-nn.Module object graph is walked via ``_parameters``/``_buffers``/
-``_modules`` to recover the state dict. Names map mechanically onto the
-flax tree (model.py keeps the layer indices), with layout transposes
-OIHW -> HWIO for convs and (I, O, kh, kw) -> (kh, kw, O, I) for the proto
+the archive is read WITHOUT torch or ultralytics installed (ptread.py
+parses the zip/pickle format directly into numpy), then the nn.Module
+stub graph is walked via ``_parameters``/``_buffers``/``_modules`` to
+recover the state dict. Names map mechanically onto the flax tree
+(model.py keeps the layer indices), with layout transposes OIHW -> HWIO
+for convs and (I, O, kh, kw) -> (kh, kw, O, I) for the proto
 deconvolution.
 """
 
 from __future__ import annotations
 
-import pickle
 from typing import Dict, Tuple
 
 import numpy as np
@@ -21,34 +20,15 @@ import numpy as np
 from ...core.errors import ModelError
 
 
-class _Stub:
-    def __init__(self, *a, **k):
-        pass
-
-    def __setstate__(self, state):
-        if isinstance(state, dict):
-            self.__dict__.update(state)
-        else:
-            self.__dict__["_state"] = state
-
-
-class _PermissiveUnpickler(pickle.Unpickler):
-    _SAFE_PREFIXES = ("torch", "collections", "numpy", "builtins", "copyreg")
-
-    def find_class(self, module, name):
-        if module.split(".")[0] in ("torch", "collections", "numpy",
-                                    "builtins", "copyreg", "_codecs"):
-            return super().find_class(module, name)
-        return type(name, (_Stub,), {"__module__": module})
-
-
-class _ShimPickleModule:
-    Unpickler = _PermissiveUnpickler
-    loads = staticmethod(pickle.loads)
-    load = staticmethod(pickle.load)
+def _as_f32(t) -> np.ndarray:
+    a = np.asarray(t)
+    if a.dtype != np.float32 and np.issubdtype(a.dtype, np.floating):
+        a = a.astype(np.float32)
+    return a
 
 
 def _collect_tensors(obj, prefix: str, out: Dict[str, np.ndarray]) -> None:
+    """Walk an nn.Module stub graph via _parameters/_buffers/_modules."""
     d = getattr(obj, "__dict__", None)
     if not isinstance(d, dict):
         return
@@ -56,10 +36,8 @@ def _collect_tensors(obj, prefix: str, out: Dict[str, np.ndarray]) -> None:
         entries = d.get(slot)
         if entries:
             for name, t in dict(entries).items():
-                if t is not None and hasattr(t, "detach"):
-                    out[prefix + name] = (
-                        t.detach().to("cpu").float().numpy()
-                    )
+                if isinstance(t, np.ndarray):
+                    out[prefix + name] = _as_f32(t)
     modules = d.get("_modules")
     if modules:
         for name, child in dict(modules).items():
@@ -68,27 +46,33 @@ def _collect_tensors(obj, prefix: str, out: Dict[str, np.ndarray]) -> None:
 
 
 def load_torch_state(pt_path: str) -> Dict[str, np.ndarray]:
-    """Read an ultralytics (or raw) .pt file into {name: float32 array}."""
-    import torch
+    """Read an ultralytics (or raw) .pt file into {name: float32 array}.
+
+    Torch-free: the zip/pickle archive is parsed by ptread.load_pt_archive,
+    so conversion runs inside the deployment image (which installs no
+    torch). Prefers the 'ema' weights when present (ultralytics'
+    attempt_load does the same).
+    """
+    from .ptread import load_pt_archive
 
     try:
-        ckpt = torch.load(
-            pt_path,
-            map_location="cpu",
-            pickle_module=_ShimPickleModule,
-            weights_only=False,
-        )
+        ckpt = load_pt_archive(pt_path)
     except Exception as e:
         raise ModelError(f"cannot unpickle checkpoint {pt_path}: {e}") from e
     state: Dict[str, np.ndarray] = {}
-    if isinstance(ckpt, dict) and "model" in ckpt and not hasattr(
-        ckpt["model"], "detach"
+    if isinstance(ckpt, dict) and not all(
+        isinstance(v, np.ndarray) for v in ckpt.values()
     ):
-        _collect_tensors(ckpt["model"], "", state)
-    elif isinstance(ckpt, dict):
+        for source in ("ema", "model"):
+            mod = ckpt.get(source)
+            if mod is not None and not isinstance(mod, np.ndarray):
+                _collect_tensors(mod, "", state)
+                if state:
+                    break
+    elif isinstance(ckpt, dict):  # raw state dict
         for k, v in ckpt.items():
-            if hasattr(v, "detach"):
-                state[k] = v.detach().to("cpu").float().numpy()
+            if isinstance(v, np.ndarray):
+                state[k] = _as_f32(v)
     if not state:
         raise ModelError(f"no tensors found in checkpoint {pt_path}")
     return state

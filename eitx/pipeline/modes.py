@@ -24,6 +24,7 @@ from ..core.config import PipelineConfig
 from ..core.errors import ContourError
 from ..core.timing import Timer
 from ..fem import simulate_eit_monitoring
+from ..geometry.polygon import polygon_area
 from ..image import body_mask_from_hu, hu_transform, window_normalize
 from ..image.orientation import (
     axial_stack_to_frontal,
@@ -109,9 +110,11 @@ class Pipeline:
         contours = [c for c in contours if c.shape[0] >= 5]
         if not contours:
             raise ContourError("body mask produced no usable contour")
-        largest = max(contours, key=lambda c: c.shape[0])
-        closed = largest
-        return format_polygon_line(4, closed)
+        # max-AREA contour, matching the reference's max(contourArea)
+        # selection (utils.py:572-582, :1157-1188) — a jagged satellite
+        # artifact can out-point the smooth body outline on vertex count
+        largest = max(contours, key=lambda c: abs(polygon_area(c)))
+        return format_polygon_line(4, largest)
 
     def _run_tail(
         self,

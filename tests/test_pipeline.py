@@ -163,3 +163,20 @@ def test_nii_mode(pipeline):
     buf.seek(0)
     ans = pipeline.run_nii(buf)
     _check_answer(ans)
+
+
+def test_body_polygon_prefers_max_area(pipeline):
+    """A small jagged satellite with MORE vertices than the smooth body
+    outline must not win the body-contour pick (utils.py:572-582 parity:
+    the reference keeps the max-AREA external contour)."""
+    mask = np.zeros((128, 128), np.uint8)
+    yy, xx = np.mgrid[0:128, 0:128]
+    # big smooth disk: few vertices after tracing
+    mask[((xx - 48.0) ** 2 + (yy - 64.0) ** 2) < 30**2] = 255
+    # small jagged comb artifact: many boundary vertices, tiny area
+    for i in range(20):
+        mask[40 + 2 * i, 100 + (i % 2) * 8 : 109 + (i % 2) * 8] = 255
+    line = pipeline._body_polygon(mask)
+    pts = np.array(line.split()[1:], float).reshape(-1, 2)
+    cx, cy = pts.mean(axis=0)
+    assert abs(cx - 48) < 8 and abs(cy - 64) < 8, (cx, cy)

@@ -264,3 +264,96 @@ def test_bf16_inference_agrees_with_f32():
     # label path runs end to end in bf16
     lab = seg16.segment_labels(img)
     assert lab.shape == (2, IMG, IMG)
+
+
+class _BlockTorch:
+    """Import hook: any attempt to import torch fails inside the block."""
+
+    def find_module(self, name, path=None):
+        if name == "torch" or name.startswith("torch."):
+            return self
+
+    def load_module(self, name):
+        raise ImportError(f"torch blocked for this test: {name}")
+
+
+def _with_torch_blocked(fn):
+    import sys
+
+    saved = {k: v for k, v in sys.modules.items()
+             if k == "torch" or k.startswith("torch.")}
+    for k in saved:
+        del sys.modules[k]
+    blocker = _BlockTorch()
+    sys.meta_path.insert(0, blocker)
+    try:
+        return fn()
+    finally:
+        sys.meta_path.remove(blocker)
+        sys.modules.update(saved)
+
+
+def _make_torch_net(small=False):
+    import torch.nn as nn
+
+    mods = ([nn.Conv2d(1, 2, 1)] if small else
+            [nn.Conv2d(3, 4, 3, bias=False), nn.BatchNorm2d(4),
+             nn.ConvTranspose2d(4, 2, 2, 2)])
+    net = nn.Module()
+    net.model = nn.Sequential(*mods)
+    return net
+
+
+def test_ptread_roundtrip_module_graph(tmp_path):
+    """Write a real torch checkpoint shaped like an ultralytics one
+    (fp16 module graph under 'model'), read it back with NO torch."""
+    torch = pytest.importorskip("torch")
+
+    from eitx.models.yolo.convert import load_torch_state
+
+    torch.manual_seed(0)
+    net = _make_torch_net().half()
+    path = str(tmp_path / "ckpt.pt")
+    torch.save({"model": net, "epoch": 3, "train_args": {"imgsz": 640}}, path)
+
+    state = _with_torch_blocked(lambda: load_torch_state(path))
+    ref = {k: v.float().numpy() for k, v in net.state_dict().items()
+           if "num_batches" not in k}
+    for k, v in ref.items():
+        assert k in state, (k, sorted(state))
+        assert state[k].dtype == np.float32
+        assert np.allclose(state[k], v), k
+    # running stats and counters present / skipped correctly
+    assert "model.1.running_mean" in state
+
+
+def test_ptread_prefers_ema_and_reads_bf16(tmp_path):
+    torch = pytest.importorskip("torch")
+
+    from eitx.models.yolo.convert import load_torch_state
+
+    torch.manual_seed(1)
+    raw, ema = _make_torch_net(small=True), _make_torch_net(small=True).bfloat16()
+    path = str(tmp_path / "ema.pt")
+    torch.save({"model": raw, "ema": ema}, path)
+    state = _with_torch_blocked(lambda: load_torch_state(path))
+    want = ema.state_dict()["model.0.weight"].float().numpy()
+    assert np.allclose(state["model.0.weight"], want)
+
+
+def test_ptread_raw_state_dict(tmp_path):
+    torch = pytest.importorskip("torch")
+
+    from eitx.models.yolo.convert import load_torch_state
+
+    sd = {"a.weight": torch.arange(6, dtype=torch.float16).reshape(2, 3),
+          "b.bias": torch.ones(4)}
+    # non-contiguous tensor exercises the stride path
+    sd["c.weight"] = torch.arange(12, dtype=torch.float32).reshape(3, 4).t()
+    path = str(tmp_path / "sd.pt")
+    torch.save(sd, path)
+    state = _with_torch_blocked(lambda: load_torch_state(path))
+    assert np.allclose(state["a.weight"], np.arange(6).reshape(2, 3))
+    assert np.allclose(state["b.bias"], 1.0)
+    assert np.allclose(state["c.weight"],
+                       np.arange(12).reshape(3, 4).T)
