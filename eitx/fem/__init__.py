@@ -4,6 +4,12 @@ from .protocol import Protocol, abs_to_diff, create_protocol
 from .solver import forward_solve, forward_solve_batched, forward_solve_cg
 from .spectral import SpectralEITSolver
 from .admittance import forward_solve_admittance
+from .sheffield import (
+    electrode_averaging_matrix,
+    sheffield_ex_mat,
+    sheffield_monitoring,
+    sheffield_solve_admittance,
+)
 from .forward import (
     compact_mesh_nodes,
     load_mesh_txt,
@@ -26,6 +32,10 @@ __all__ = [
     "forward_solve_cg",
     "SpectralEITSolver",
     "forward_solve_admittance",
+    "electrode_averaging_matrix",
+    "sheffield_ex_mat",
+    "sheffield_monitoring",
+    "sheffield_solve_admittance",
     "compact_mesh_nodes",
     "load_mesh_txt",
     "prepare_mesh_info",

@@ -214,6 +214,180 @@ def prepare_data(borders: Dict, settings: Settings) -> Tuple[Dict, np.ndarray]:
     return bordersf, elecs
 
 
+def write_fec(
+    fname: str,
+    bordersf: Dict,
+    elecs: np.ndarray,
+    settings: Settings,
+    materials_at_freq: Dict[str, Dict[str, float]],
+    projection: int = 0,
+) -> str:
+    """Write one FEMM current-flow problem as a .fec-style text file.
+
+    Mirrors what femm.ci_saveas persists per projection
+    (model_generator.py:349-371 + femm_api.py:7-160): problem definition,
+    material block properties at the working frequency, INJ/GND conductor
+    states for THIS projection (GND at electrode ``projection``, INJ at the
+    next one — calculate_EIT_projection_femm semantics), then the contour
+    geometry as numbered points/segments and one block label per closed
+    region. Text (not FEMM's binary-float) so the file round-trips through
+    load_fec; section names follow FEMM's bracketed-key layout.
+    """
+    n_elec = elecs.shape[0]
+    inj = 0 if projection == n_elec - 1 else projection + 1
+    lines = [
+        "[Format] = 1",
+        f"[Frequency] = {settings.Freq}",
+        "[Precision] = 1e-08",
+        "[MinAngle] = 30",
+        "[Depth] = 1",
+        "[LengthUnits] = millimeters",
+        "[ProblemType] = planar",
+        "[Coordinates] = cartesian",
+        f"[Comment] = \"eitx projection {projection}\"",
+        "[PointProps] = 0",
+        "[BdryProps] = 0",
+    ]
+    mats = dict(materials_at_freq)
+    lines.append(f"[BlockProps] = {len(mats)}")
+    for name, props in mats.items():
+        lines += [
+            "  <BeginBlock>",
+            f"    <BlockName> = \"{name}\"",
+            f"    <ox> = {props.get('cond', 0.0)!r}",
+            f"    <oy> = {props.get('cond', 0.0)!r}",
+            f"    <ex> = {props.get('perm', 0.0)!r}",
+            f"    <ey> = {props.get('perm', 0.0)!r}",
+            "  <EndBlock>",
+        ]
+    lines.append("[ConductorProps] = 2")
+    lines += [
+        "  <BeginConductor>",
+        "    <ConductorName> = \"INJ\"",
+        f"    <Totalamps_re> = {settings.I!r}",
+        "    <ConductorType> = 0",
+        f"    <Electrode> = {inj}",
+        "  <EndConductor>",
+        "  <BeginConductor>",
+        "    <ConductorName> = \"GND\"",
+        "    <Vc_re> = 0.0",
+        "    <ConductorType> = 1",
+        f"    <Electrode> = {projection}",
+        "  <EndConductor>",
+    ]
+    # geometry: every contour becomes points + closing segments; the skin
+    # contour carries the electrode edge points already inserted
+    pts, segs, labels = [], [], []
+    for tissue, info in bordersf.items():
+        for data in info["coords"]:
+            base = len(pts)
+            m = data.shape[0]
+            pts.extend((float(x), float(y)) for x, y in data)
+            segs.extend((base + j, base + (j + 1) % m) for j in range(m))
+            cx, cy = np.mean(data, axis=0)
+            labels.append((float(cx), float(cy), tissue))
+    lines.append(f"[NumPoints] = {len(pts)}")
+    lines += [f"{x!r}\t{y!r}\t0\t0" for x, y in pts]
+    lines.append(f"[NumSegments] = {len(segs)}")
+    lines += [f"{a}\t{b}\t-1\t0\t0\t0" for a, b in segs]
+    lines.append(f"[NumBlockLabels] = {len(labels)}")
+    lines += [f"{x!r}\t{y!r}\t\"{t}\"\t0" for x, y, t in labels]
+    lines.append(f"[NumElectrodes] = {n_elec}")
+    lines += [
+        "\t".join(repr(float(v)) for v in e.reshape(-1)) for e in elecs
+    ]
+    with open(fname, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    return fname
+
+
+def load_fec(fname: str) -> Dict:
+    """Parse a write_fec file back into a model dict (round-trip check)."""
+    doc: Dict = {"problem": {}, "materials": {}, "conductors": {},
+                 "points": [], "segments": [], "labels": [],
+                 "electrodes": []}
+    with open(fname) as fh:
+        lines = [ln.rstrip("\n") for ln in fh]
+    i = 0
+
+    def scalar(v: str):
+        v = v.strip()
+        if v.startswith('"'):
+            return v.strip('"')
+        try:
+            return float(v) if ("." in v or "e" in v or "E" in v) else int(v)
+        except ValueError:
+            return v
+
+    while i < len(lines):
+        ln = lines[i].strip()
+        if ln.startswith("[") and "=" in ln:
+            key = ln[1:ln.index("]")]
+            val = scalar(ln.split("=", 1)[1])
+            if key in ("BlockProps", "ConductorProps"):
+                begin, end, dest, name_key = (
+                    ("<BeginBlock>", "<EndBlock>", "materials", "BlockName")
+                    if key == "BlockProps"
+                    else ("<BeginConductor>", "<EndConductor>", "conductors",
+                          "ConductorName")
+                )
+                for _ in range(int(val)):
+                    while not lines[i].strip().startswith(begin):
+                        i += 1
+                    props = {}
+                    i += 1
+                    while not lines[i].strip().startswith(end):
+                        k, v = lines[i].strip().split("=", 1)
+                        props[k.strip().strip("<>")] = scalar(v)
+                        i += 1
+                    doc[dest][props.pop(name_key)] = props
+            elif key in ("NumPoints", "NumSegments", "NumBlockLabels",
+                         "NumElectrodes"):
+                dest = {"NumPoints": "points", "NumSegments": "segments",
+                        "NumBlockLabels": "labels",
+                        "NumElectrodes": "electrodes"}[key]
+                for _ in range(int(val)):
+                    i += 1
+                    doc[dest].append(
+                        [scalar(tok) for tok in lines[i].split("\t")]
+                    )
+            else:
+                doc["problem"][key] = val
+        i += 1
+    doc["electrodes"] = np.array(doc["electrodes"]).reshape(-1, 3, 2)
+    return doc
+
+
+def save_model(
+    fname: str,
+    bordersf: Dict,
+    elecs: np.ndarray,
+    settings: Settings,
+    materials_at_freq: Dict[str, Dict[str, float]],
+    n_projections: int = 0,
+    dirpath: str = "",
+) -> list:
+    """Save the model once, or n_projections times with the projection
+    number in the name — femm's save_model contract
+    (model_generator.py:349-371). Returns the list of file paths."""
+    import os
+
+    fpaths = []
+    dirpath = dirpath or "./models/temp/"
+    os.makedirs(dirpath, exist_ok=True)
+    if n_projections:
+        for i in range(n_projections):
+            path = os.path.join(dirpath, f"{fname}{i}.fec")
+            write_fec(path, bordersf, elecs, settings, materials_at_freq,
+                      projection=i)
+            fpaths.append(path)
+    else:
+        path = os.path.join(dirpath, f"{fname}.fec")
+        write_fec(path, bordersf, elecs, settings, materials_at_freq)
+        fpaths.append(path)
+    return fpaths
+
+
 def export_femm_model(
     fname: str,
     bordersf: Dict,

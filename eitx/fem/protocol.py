@@ -76,10 +76,8 @@ def abs_to_diff(v: np.ndarray, n_el: int) -> np.ndarray:
     index i, diff = v[i] - v[i+1], wrapping inside each block of n_el.
     """
     v = np.asarray(v)
-    out = np.empty_like(v, dtype=np.float64)
-    for i in range(v.shape[0]):
-        if (i + 1) % n_el:
-            out[i] = v[i] - v[i + 1]
-        else:
-            out[i] = v[i] - v[i - (n_el - 1)]
-    return out
+    # vectorized: blocks of n_el along the LAST axis (equals the
+    # reference's axis-0 walk for the 1-D arrays it is applied to), and
+    # generalizes to (T, n_proj, n_el) monitoring stacks
+    blocks = v.reshape(*v.shape[:-1], -1, n_el)
+    return (blocks - np.roll(blocks, -1, axis=-1)).reshape(v.shape)

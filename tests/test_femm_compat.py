@@ -137,3 +137,128 @@ def test_admittance_phase_appears_with_permittivity():
     # capacitive path shifts phase: imaginary part must be non-negligible
     assert np.abs(v.imag).max() > 1e-4 * np.abs(v.real).max()
     assert np.isfinite(v).all()
+
+
+# --- Sheffield line-integral measurement path (round-2) ------------------
+
+from eitx.fem.oracle import forward_solve_oracle  # noqa: E402
+from eitx.fem.sheffield import (  # noqa: E402
+    abs_to_diff,
+    electrode_averaging_matrix,
+    sheffield_ex_mat,
+    sheffield_monitoring,
+    sheffield_solve_admittance,
+)
+from meshfix import disk_mesh_with_classes  # noqa: E402
+
+
+def test_abs_to_diff_reference_semantics():
+    """Golden: dv[i] = v[i]-v[i+1], block-last wraps to block-first
+    (synthetic_datasets_generator.py:144-162)."""
+    n = 4
+    v = np.array([10.0, 7.0, 5.0, 2.0, 1.0, 4.0, 9.0, 3.0])
+    want = np.array([3.0, 2.0, 3.0, 2.0 - 10.0, -3.0, -5.0, 6.0, 3.0 - 1.0])
+    assert np.allclose(abs_to_diff(v, n), want)
+    # multi-slice form: same per-row
+    vv = np.stack([v, v * 2])
+    assert np.allclose(abs_to_diff(vv, n), np.stack([want, want * 2]))
+
+
+def test_sheffield_ex_mat():
+    ex = sheffield_ex_mat(4)
+    assert ex.tolist() == [[1, 0], [2, 1], [3, 2], [0, 3]]
+
+
+def test_line_integral_voltages_vs_oracle():
+    """Tiny electrodes centered on boundary nodes reduce the averaging
+    matrix to point measurement; the line-integral path must then match
+    the float64 scipy oracle's potentials projection-for-projection."""
+    nodes, tris = disk_mesh(48, 6)
+    el = place_electrodes_equal_spacing(nodes, tris, 16, starting_angle=np.pi)
+    # flat "electrodes" degenerate to the electrode node (width ~ 0)
+    eps = 1e-9
+    elecs = np.stack(
+        [np.stack([nodes[e] - eps, nodes[e] + eps, nodes[e]]) for e in el]
+    )
+    W = electrode_averaging_matrix(nodes, tris, elecs, samples=3)
+    # each row must be (near) one-hot at the electrode node
+    assert np.allclose(W[np.arange(16), el], 1.0, atol=1e-6)
+
+    current = 0.005
+    v_abs = np.asarray(sheffield_solve_admittance(
+        jnp.asarray(nodes, jnp.float32), jnp.asarray(tris, jnp.int32),
+        jnp.full(tris.shape[0], 0.3, jnp.float32),
+        jnp.zeros(tris.shape[0], jnp.float32), jnp.float32(5e4),
+        jnp.asarray(W, jnp.float32), jnp.float32(current), nodes.shape[0]))
+    v_diff = abs_to_diff(v_abs, 16)
+
+    # oracle with the same drive pairs and all-16 neighbour measurements
+    ex = sheffield_ex_mat(16)
+    meas = np.stack(
+        [np.stack([np.arange(16), (np.arange(16) + 1) % 16], 1)] * 16
+    )
+    v_oracle = forward_solve_oracle(
+        nodes, tris, np.full(tris.shape[0], 0.3), el, ex, meas
+    ) * current  # oracle injects unit current
+    rel = np.abs(v_diff - v_oracle).max() / np.abs(v_oracle).max()
+    assert rel < 2e-3, rel
+
+
+def test_sheffield_monitoring_shapes_and_breathing():
+    nodes, tris, cls = disk_mesh_with_classes(48, 6)
+    el = place_electrodes_equal_spacing(nodes, tris, 16, starting_angle=np.pi)
+    # real flat electrodes along the hull
+    th = np.arctan2(nodes[el][:, 1], nodes[el][:, 0])
+    tang = np.stack([-np.sin(th), np.cos(th)], 1) * 0.04
+    elecs = np.stack(
+        [np.stack([nodes[e] - t, nodes[e] + t, nodes[e]])
+         for e, t in zip(el, tang)]
+    )
+    T = 3
+    sig = np.full((T, tris.shape[0]), 0.3)
+    for t in range(T):
+        sig[t, cls == 2] = 0.10 + 0.05 * t  # breathing lungs
+    eps = np.zeros_like(sig)
+    v = sheffield_monitoring(nodes, tris, sig, eps, 5e4, elecs)
+    assert v.shape == (T, 16, 16)
+    assert np.isfinite(v).all()
+    # lung conductivity change must modulate the measurements
+    assert np.abs(v[2] - v[0]).max() > 1e-8
+    # row sums of abs_to_diff vanish identically (telescoping)
+    assert np.allclose(v.sum(axis=-1), 0.0, atol=1e-5)
+
+
+def test_fec_save_and_roundtrip(tmp_path):
+    from eitx.fem.femm_model import load_fec, save_model
+
+    c = _circle(100.0, 200)
+    borders = {"muscles": [c], "lung": [_circle(25.0, 60, cx=-30)]}
+    settings = Settings(Nelec=16, Relec=5, accuracy=0.5, min_area=100,
+                        polydeg=5, skinthick=2, I=0.005, Freq=50000,
+                        thin_coeff=2)
+    bordersf, elecs = prepare_data(borders, settings)
+    mats = {"muscles": {"cond": 0.35, "perm": 1e4},
+            "lung": {"cond": 0.15, "perm": 2e4},
+            "skin": {"cond": 0.0002, "perm": 1e3}}
+    paths = save_model("prob", bordersf, elecs, settings, mats,
+                       n_projections=16, dirpath=str(tmp_path))
+    assert len(paths) == 16
+    assert paths[3].endswith("prob3.fec")
+    doc = load_fec(paths[3])
+    assert doc["problem"]["Frequency"] == 50000
+    assert doc["materials"]["lung"]["ox"] == pytest.approx(0.15)
+    # projection 3: GND at 3, INJ at 4
+    assert doc["conductors"]["GND"]["Electrode"] == 3
+    assert doc["conductors"]["INJ"]["Electrode"] == 4
+    assert doc["conductors"]["INJ"]["Totalamps_re"] == pytest.approx(0.005)
+    # wraparound projection: INJ goes back to 0
+    last = load_fec(paths[15])
+    assert last["conductors"]["INJ"]["Electrode"] == 0
+    np.testing.assert_allclose(doc["electrodes"], elecs, rtol=1e-12)
+    n_pts = sum(len(i["coords"][k]) for i in bordersf.values()
+                for k in range(len(i["coords"])))
+    assert len(doc["points"]) == n_pts
+    assert len(doc["segments"]) == n_pts
+    assert len(doc["labels"]) == sum(
+        len(i["coords"]) for i in bordersf.values()
+    )
