@@ -135,6 +135,13 @@ class SimulationConfig:
     electrode_model: str = "point"
     z_contact: float = 1e-2
     electrode_coverage: float = 0.5
+    # Breathing source: 'synthetic' (make_spirometry sine, the live
+    # pipeline default) or 'recorded' (a ventilation capture CSV driven
+    # through the FFT low-pass + volume->conductivity map, reference
+    # get_spirometry_ref/filt_FFT). ventilation_csv=None uses the packaged
+    # eitx/data/vent.csv trace.
+    spirometry_source: str = "synthetic"
+    ventilation_csv: Optional[str] = None
 
 
 @dataclass(frozen=True)

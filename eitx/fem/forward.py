@@ -22,11 +22,32 @@ import numpy as np
 from ..core.config import ClassMap, SimulationConfig
 from ..core.errors import SimulationError
 from ..physio.materials import get_materials, tissue_conductivities
-from ..physio.spirometry import conductivity_schedule
+from ..physio.spirometry import conductivity_schedule, recorded_schedule
 from .assembly import ClassStiffness
 from .electrodes import place_electrodes_equal_spacing
 from .protocol import Protocol, create_protocol
 from .solver import forward_solve_batched
+
+
+def _breathing_schedule(
+    cfg: SimulationConfig, materials, compat_reference_interp: bool
+):
+    """Lung-conductivity schedule from the configured breathing source."""
+    if cfg.spirometry_source == "recorded":
+        return recorded_schedule(
+            cfg.n_points,
+            cfg.frequency_hz,
+            materials,
+            csv_path=cfg.ventilation_csv,
+            compat_reference_interp=compat_reference_interp,
+        )
+    return conductivity_schedule(
+        cfg.n_spir,
+        cfg.n_points,
+        cfg.frequency_hz,
+        materials,
+        compat_reference_interp=compat_reference_interp,
+    )
 
 
 @dataclass
@@ -127,6 +148,79 @@ def write_dat(filename: str, v: np.ndarray, n_repeats: int) -> None:
                 fh.write(" ".join(format(x, ".18e") for x in row) + "\n")
 
 
+def simulate_eit_monitoring_subjects(
+    mesh_datas,
+    cfg: SimulationConfig = SimulationConfig(),
+    classes: ClassMap = ClassMap(),
+    materials_location: Optional[str] = None,
+    compat_reference_interp: bool = False,
+):
+    """Monitoring for MANY subjects with batched spectral setup.
+
+    Subjects whose padded stiffness shapes coincide (ClassStiffness's
+    pad_nodes_to buckets) share ONE vmapped Cholesky+eigh setup program, so
+    the per-subject O(N^3) factorization cost batches on the MXU — the
+    steady-state subjects/hour lever for dataset generation at scale
+    (reference: one process pool PER REQUEST, synthetic_datasets_generator
+    .py:333-335).
+
+    Returns a list of (voltages (T, n_exc*n_meas), per_subject_seconds).
+    """
+    import math as _math
+    from .spectral import SpectralEITSolver
+
+    t_start = time.time()
+    materials = get_materials(materials_location)
+    _, condspir = _breathing_schedule(cfg, materials, compat_reference_interp)
+    base_cond = tissue_conductivities(
+        materials, cfg.frequency_hz, classes.id_to_name(),
+        compat_reference_interp,
+    )
+    sigma = build_sigma_frames(condspir, base_cond, classes)
+    proto = create_protocol(
+        cfg.n_electrodes, cfg.dist_exc, cfg.step_meas, cfg.parser_meas
+    )
+    lung_col = classes.name_to_id()["lung"]
+    alphas = sigma[:, lung_col]
+    alpha0 = float(alphas.mean())
+    dtype = jnp.float64 if cfg.precision == "f64" else jnp.float32
+
+    infos, els, css = [], [], []
+    for mesh_data in mesh_datas:
+        info = compact_mesh_nodes(prepare_mesh_info(mesh_data, classes))
+        infos.append(info)
+        els.append(
+            place_electrodes_equal_spacing(
+                info.node, info.element, n_electrodes=cfg.n_electrodes,
+                starting_angle=_math.radians(cfg.starting_angle_deg),
+            )
+        )
+        css.append(
+            ClassStiffness.build(
+                info.node, info.element, info.cond,
+                n_classes=classes.n_tissues, dtype=dtype,
+                pad_nodes_to=cfg.pad_nodes_to, pad_elems_to=cfg.pad_elems_to,
+            )
+        )
+    # group same-bucket subjects for one vmapped setup each
+    groups: Dict[tuple, list] = {}
+    for i, cs in enumerate(css):
+        groups.setdefault(tuple(cs.k_class.shape), []).append(i)
+    results = [None] * len(css)
+    for idxs in groups.values():
+        solvers = SpectralEITSolver.build_batch(
+            [css[i] for i in idxs], sigma[0], lung_col,
+            [els[i] for i in idxs], proto.ex_mat, proto.meas_mat,
+            [alpha0] * len(idxs),
+        )
+        for i, solver in zip(idxs, solvers):
+            results[i] = np.asarray(solver.solve(alphas)).reshape(
+                cfg.n_points, -1
+            )
+    per_subject = (time.time() - t_start) / max(len(css), 1)
+    return [(v, per_subject) for v in results]
+
+
 def simulate_eit_monitoring(
     mesh_data: Dict,
     cfg: SimulationConfig = SimulationConfig(),
@@ -145,13 +239,7 @@ def simulate_eit_monitoring(
     t0 = time.time()
     mesh = compact_mesh_nodes(prepare_mesh_info(mesh_data, classes))
     materials = get_materials(materials_location)
-    _, condspir = conductivity_schedule(
-        cfg.n_spir,
-        cfg.n_points,
-        cfg.frequency_hz,
-        materials,
-        compat_reference_interp=compat_reference_interp,
-    )
+    _, condspir = _breathing_schedule(cfg, materials, compat_reference_interp)
     base_cond = tissue_conductivities(
         materials,
         cfg.frequency_hz,

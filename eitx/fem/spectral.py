@@ -106,6 +106,44 @@ class SpectralEITSolver:
             self.meas_mat,
         )
 
+    @classmethod
+    def build_batch(
+        cls,
+        cs_list,
+        sigma_base: np.ndarray,
+        lung_class: int,
+        el_pos_list,
+        ex_mat,
+        meas_mat,
+        alpha0s,
+    ):
+        """Factor MANY subjects' pencils in one vmapped program.
+
+        All subjects must share one padded node bucket (same k_class shape —
+        that is what ClassStiffness.build's pad_nodes_to buckets exist for):
+        the per-subject Cholesky + eigh then batch on the MXU instead of
+        running B sequential O(N^3) setups. Returns a list of solvers.
+        """
+        k_stack = jnp.stack([cs.k_class for cs in cs_list])  # (B, C, N, N)
+        d_stack = jnp.stack([cs.diag_fix for cs in cs_list])  # (B, N)
+        ref_nodes = {cs.ref_node for cs in cs_list}
+        if len(ref_nodes) != 1:
+            raise ValueError("batched subjects must share ref_node")
+        el_stack = jnp.asarray(np.stack([np.asarray(e) for e in el_pos_list]))
+        dtype = cs_list[0].k_class.dtype
+        a0 = jnp.asarray(np.asarray(alpha0s), dtype)
+        sig = jnp.asarray(sigma_base, dtype)
+        lam, y0, z = _spectral_setup_batch(
+            k_stack, d_stack, ref_nodes.pop(), sig, lung_class,
+            el_stack, jnp.asarray(ex_mat), a0,
+        )
+        meas = jnp.asarray(meas_mat)
+        return [
+            cls(lam=lam[b], y0=y0[b], z=z[b], alpha0=float(alpha0s[b]),
+                meas_mat=meas)
+            for b in range(len(cs_list))
+        ]
+
 
 @functools.partial(jax.jit, static_argnames=("lung_class", "ref_node"))
 def _spectral_setup(
@@ -132,6 +170,21 @@ def _spectral_setup(
         W = jax.scipy.linalg.solve_triangular(L.T, Q, lower=False)
         z = W[el_pos, :]
         return lam, y0, z
+
+
+@functools.partial(jax.jit, static_argnames=("lung_class", "ref_node"))
+def _spectral_setup_batch(
+    k_stack, d_stack, ref_node, sigma_base, lung_class, el_stack, ex_mat, a0s
+):
+    """vmap of _spectral_setup over the subject axis (shared sigma_base)."""
+
+    def one(k_class, diag_fix, el_pos, alpha0):
+        return _spectral_setup(
+            k_class, diag_fix, ref_node, sigma_base, lung_class,
+            el_pos, ex_mat, alpha0,
+        )
+
+    return jax.vmap(one)(k_stack, d_stack, el_stack, a0s)
 
 
 @functools.partial(jax.jit, static_argnames=("lung_class",))

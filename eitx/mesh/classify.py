@@ -109,7 +109,10 @@ def _min_dist_to_ring(points: jnp.ndarray, ring: jnp.ndarray) -> jnp.ndarray:
 
 import os
 
-_USE_PALLAS = os.environ.get("EITX_PALLAS") == "1"
+# Pallas PIP kernel is the DEFAULT fast path on TPU (opt out with
+# EITX_PALLAS=0); it is bit-exact vs the jnp path (tests/test_pallas_pip.py)
+# and avoids materializing the (Q, C, P) crossing tensor in HBM.
+_USE_PALLAS = os.environ.get("EITX_PALLAS", "1") != "0"
 
 
 @functools.partial(jax.jit, static_argnames=("outer_class",))
@@ -123,10 +126,7 @@ def _classify_kernel(verts, bary, polys, cids, outer_class):
     samples = jnp.einsum("sk,mkd->msd", bary, verts)  # (M, S, 2)
     S = samples.shape[1]
     if _USE_PALLAS and jax.default_backend() == "tpu":
-        # Pallas fast path: streams the edge axis through VMEM instead of
-        # materializing the (Q, C, P) crossing tensor (EITX_PALLAS=1;
-        # verified bit-exact vs the jnp path on TPU). Compiled-mode pallas
-        # is TPU-only; CPU falls through to the jnp path.
+        # compiled-mode pallas is TPU-only; CPU falls through to jnp
         from .pallas_pip import points_in_polys_pallas
 
         inside = points_in_polys_pallas(samples.reshape(-1, 2), polys)

@@ -199,10 +199,36 @@ def _to_mutable(tree):
     return tree
 
 
+def load_eitx_checkpoint(path: str) -> Dict:
+    """Load an eitx-native msgpack checkpoint into inference variables.
+
+    Accepts either a deployment dict {params[, batch_stats]} (what
+    scripts/train_tissue.py saves from the EMA weights) or a full
+    TrainState payload (train/checkpoint.py) — opt_state/step are dropped.
+    """
+    from flax import serialization
+
+    with open(path, "rb") as fh:
+        tree = serialization.msgpack_restore(fh.read())
+    if "params" not in tree:
+        raise ModelError(f"checkpoint {path} has no 'params' tree")
+    out = {"params": tree["params"]}
+    if tree.get("batch_stats"):
+        out["batch_stats"] = tree["batch_stats"]
+    return out
+
+
 def load_weights(pt_path: str, model, imgsz: int = 512):
-    """Convenience: checkpoint path -> jnp variables ready for apply()."""
+    """Convenience: checkpoint path -> jnp variables ready for apply().
+
+    ``.pt`` files go through the torch-archive converter; anything else is
+    treated as an eitx-native msgpack checkpoint.
+    """
     import jax.numpy as jnp
     import jax
 
-    variables = convert_ultralytics_checkpoint(pt_path, model, imgsz)
+    if pt_path.endswith(".pt"):
+        variables = convert_ultralytics_checkpoint(pt_path, model, imgsz)
+    else:
+        variables = load_eitx_checkpoint(pt_path)
     return jax.tree_util.tree_map(jnp.asarray, variables)

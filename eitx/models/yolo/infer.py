@@ -161,11 +161,19 @@ class YoloRunner:
 
         return run
 
-    def segment_labels(self, images: np.ndarray) -> np.ndarray:
+    def segment_labels(
+        self, images: np.ndarray, chunk: int = 16
+    ) -> np.ndarray:
         """uint8 (B, H, W[, 3]) -> (B, H, W) int32 label images.
 
         The batched-throughput path: network + NMS + mask composition +
-        letterboxing all on device; uint8 crosses in, int8 crosses out."""
+        letterboxing all on device; uint8 crosses in, int8 crosses out.
+
+        Large batches stream in ``chunk``-sized pieces: every chunk's
+        host->device transfer, device program, and device->host label fetch
+        are enqueued asynchronously, so the link (the bottleneck on
+        relay-attached chips) stays busy while earlier chunks compute and
+        the host upsamples already-fetched labels."""
         arr = np.asarray(images)
         if arr.dtype != np.uint8:
             arr = np.clip(arr, 0, 255).astype(np.uint8)
@@ -175,17 +183,41 @@ class YoloRunner:
         if self._segment_labels_fn is None or self._segment_labels_key != key:
             self._segment_labels_fn = self._build_segment_labels((h, w), rgb)
             self._segment_labels_key = key
-        coarse = np.asarray(self._segment_labels_fn(jnp.asarray(arr)))
-        # host-side un-letterbox + nearest upsample from proto resolution
+        fn = self._segment_labels_fn
+        b = arr.shape[0]
+        if b <= chunk:
+            pieces_dev = [fn(jnp.asarray(arr))]
+        else:
+            pad = (-b) % chunk  # one compiled shape: pad the ragged tail
+            if pad:
+                arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
+            pieces_dev = []
+            for k in range(0, arr.shape[0], chunk):
+                x = jax.device_put(arr[k : k + chunk])  # async h2d
+                pieces_dev.append(fn(x))  # async dispatch
+        out = np.empty((b, h, w), np.int32)
+        done = 0
+        for o in pieces_dev:
+            coarse = np.asarray(o)  # blocks for THIS chunk only
+            n = min(coarse.shape[0], b - done)
+            out[done : done + n] = self._upsample_labels(coarse[:n], h, w)
+            done += n
+        return out
+
+    def _upsample_labels(self, coarse: np.ndarray, h: int, w: int):
+        """Un-letterbox + nearest upsample proto-res labels to (h, w)."""
         scale, pad_x, pad_y = letterbox_params(h, w, self.imgsz)
         nh, nw = int(round(h * scale)), int(round(w * scale))
         q = 4  # proto stride
         coarse = coarse[:, pad_y // q : (pad_y + nh) // q,
                         pad_x // q : (pad_x + nw) // q]
         ch, cw = coarse.shape[1], coarse.shape[2]
+        if h == ch * q and w == cw * q:
+            # exact integer scale: repeat is one pass over the output
+            return coarse.repeat(q, axis=1).repeat(q, axis=2)
         yy = np.minimum((np.arange(h) * ch // h), ch - 1)
         xx = np.minimum((np.arange(w) * cw // w), cw - 1)
-        return coarse[:, yy][:, :, xx].astype(np.int32)
+        return coarse[:, yy][:, :, xx]
 
     def detect(self, images: np.ndarray) -> Detections:
         """uint8 (B, H, W[, 3]) -> Detections in ORIGINAL image coords."""

@@ -67,6 +67,47 @@ def load_ventilation_csv(fname: str) -> np.ndarray:
     return np.array(rows)
 
 
+def get_spirometry_ref(path: str = None) -> np.ndarray:
+    """The packaged ventilation recording (reference get_spirometry_ref,
+    synthetic_datasets_generator.py:18-34 loading data/vent.csv). eitx ships
+    a reproducibly generated recorded-style capture of the same length
+    (eitx/data/vent.csv, see scripts/gen_vent.py)."""
+    import os
+
+    if path is None:
+        path = os.path.join(os.path.dirname(__file__), "..", "data",
+                            "vent.csv")
+    return load_ventilation_csv(path)
+
+
+def recorded_schedule(
+    n_points: int,
+    freq: float,
+    materials: Dict,
+    csv_path: str = None,
+    lowpass_hz: float = 0.8,
+    compat_reference_interp: bool = False,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Conductivity schedule driven by a RECORDED ventilation trace.
+
+    Reference recipe for real spirometry: FFT low-pass to strip sensor
+    noise (filt_FFT, :50-83), then the linear volume->conductivity map
+    (:85-108). The cleaned trace is resampled to ``n_points`` frames.
+    Returns (spirometry (N,2), cond_schedule (N,2)).
+    """
+    trace = get_spirometry_ref(csv_path)
+    t, x = trace[:, 0], trace[:, 1]
+    fs = 1.0 / float(np.median(np.diff(t)))
+    x = fft_filter("low", fs, lowpass_hz, x)
+    ti = np.linspace(t[0], t[-1], n_points)
+    xi = np.interp(ti, t, x)
+    sample = np.stack([ti, xi], axis=1)
+    condspir = spirometry_to_conductivity(
+        sample, freq, materials, xi, compat_reference_interp
+    )
+    return sample, condspir
+
+
 def fft_filter(typ: str, fps: float, fc, data: np.ndarray) -> np.ndarray:
     """Spectral filter by zeroing FFT amplitude bins (reference :50-83).
 

@@ -49,6 +49,7 @@ def generate_batch(
     cfg: SimulationConfig = SimulationConfig(),
     classes: ClassMap = ClassMap(),
     resume: bool = True,
+    batch_subjects: bool = True,
 ) -> Dict:
     """Run EIT monitoring for every (subject_id, mesh_data) pair.
 
@@ -56,9 +57,19 @@ def generate_batch(
     Returns the final manifest. Idempotent: completed subjects are skipped
     when ``resume`` is True; failures are recorded and do not abort the
     batch.
+
+    With ``batch_subjects`` (spectral solver only) the pending subjects'
+    pencil factorizations run as ONE vmapped setup per node bucket
+    (fem.forward.simulate_eit_monitoring_subjects) instead of sequential
+    per-subject Cholesky+eigh; on any batched failure the group falls back
+    to the per-subject path so one bad mesh cannot poison its bucket.
     """
+    from ..fem.forward import simulate_eit_monitoring_subjects
+    from ..fem.forward import write_dat
+
     os.makedirs(out_dir, exist_ok=True)
     manifest = load_manifest(out_dir) if resume else {"subjects": {}}
+    pending = []
     for subject_id, mesh_data in subjects:
         entry = manifest["subjects"].get(subject_id)
         out_file = os.path.join(out_dir, f"results_{subject_id}.dat")
@@ -70,6 +81,9 @@ def generate_batch(
         ):
             logger.info("skip %s (done)", subject_id)
             continue
+        pending.append((subject_id, mesh_data, out_file))
+
+    def run_single(subject_id, mesh_data, out_file):
         t0 = time.time()
         try:
             v, dt = simulate_eit_monitoring(
@@ -94,6 +108,35 @@ def generate_batch(
             }
             logger.error("failed %s: %s", subject_id, e)
         _save_manifest(out_dir, manifest)
+
+    use_batched = (
+        batch_subjects and len(pending) > 1 and cfg.solver == "spectral"
+        and cfg.electrode_model != "cem"
+    )
+    if use_batched:
+        try:
+            results = simulate_eit_monitoring_subjects(
+                [md for _, md, _ in pending], cfg, classes=classes
+            )
+            for (subject_id, _, out_file), (v, dt) in zip(pending, results):
+                write_dat(out_file, v, n_repeats=cfg.n_spir * cfg.n_minutes)
+                manifest["subjects"][subject_id] = {
+                    "status": "done",
+                    "file": out_file,
+                    "frames": int(v.shape[0]),
+                    "row_width": int(v.shape[1]),
+                    "generation_s": round(dt, 3),
+                    "batched": True,
+                }
+                logger.info("done %s (batched, %.2fs/subject)", subject_id, dt)
+            _save_manifest(out_dir, manifest)
+            return manifest
+        except Exception as e:
+            logger.error(
+                "batched generation failed (%s); per-subject fallback", e
+            )
+    for subject_id, mesh_data, out_file in pending:
+        run_single(subject_id, mesh_data, out_file)
     return manifest
 
 

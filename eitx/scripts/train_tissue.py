@@ -1,0 +1,156 @@
+"""Train the tissue segmenter in-repo on HU-pseudo-labeled phantoms.
+
+The reference trains its YOLOv11 checkpoints outside the repo with the
+ultralytics CLI on CT data pseudo-labeled by HU thresholds
+(create_femm_dataset.py:509-567,757-762). This script owns that capability:
+thorax phantoms -> device pseudo-labels -> Trainer (train/trainer.py) ->
+EMA deployment checkpoint loadable by TissueSegmenter(weights=...), then a
+held-out IoU report against the pseudo-labels (the reference's own quality
+metric, scripts/accuracy_calculate.py).
+
+Usage:
+    python -m eitx.scripts.train_tissue --steps 1200 --batch 8 \
+        --out weights/tissue_n_256.msgpack
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import time
+
+import numpy as np
+
+
+def pregenerate(n: int, imgsz: int, max_instances: int, seed: int):
+    """n phantom samples with targets; pseudo-labels batch on device."""
+    from ..train.phantoms import phantom_batch
+
+    rng = np.random.default_rng(seed)
+    return phantom_batch(n, imgsz, max_instances, rng, return_labels=True)
+
+
+def batches_from(data, batch, seed=0):
+    """Shuffle-cycle minibatches from a pregenerated sample store."""
+    n = data["images"].shape[0]
+    rng = np.random.default_rng(seed)
+    keys = ["images", "boxes", "classes", "masks", "valid"]
+    while True:
+        order = rng.permutation(n)
+        for k0 in range(0, n - batch + 1, batch):
+            idx = order[k0 : k0 + batch]
+            yield {k: data[k][idx] for k in keys}
+
+
+def evaluate_checkpoint(
+    ckpt_path: str, imgsz: int, variant: str, n_eval: int = 32,
+    seed: int = 777,
+) -> dict:
+    """Held-out macro IoU of the trained segmenter vs pseudo-labels."""
+    from ..eval.metrics import evaluate_dataset
+    from ..models.yolo.infer import TissueSegmenter
+    from ..train.phantoms import phantom_batch
+
+    seg = TissueSegmenter(
+        imgsz=imgsz, weights=ckpt_path, variant=variant, max_det=16
+    )
+    held = phantom_batch(
+        n_eval, imgsz, 12, np.random.default_rng(seed), return_labels=True
+    )
+    imgs_u8 = (held["images"][..., 0] * 255).astype(np.uint8)
+    pred = seg.segment_labels(imgs_u8)
+    # evaluator masks use the class_id + 1 convention (0 = background)
+    results = evaluate_dataset(
+        zip(held["labels"] + 1, pred + 1), n_classes=4
+    )
+    per_class_iou = {
+        name: round(results[cid]["iou"], 4)
+        for cid, name in enumerate(("bone", "muscles", "lung", "fat"))
+    }
+    return {
+        "macro_iou": round(
+            float(np.mean([results[c]["iou"] for c in range(4)])), 4
+        ),
+        "per_class_iou": per_class_iou,
+        "pixel_accuracy": round(
+            float(np.mean([results[c]["accuracy"] for c in range(4)])), 4
+        ),
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="train tissue segmenter in-repo")
+    p.add_argument("--steps", type=int, default=1200)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--imgsz", type=int, default=256)
+    p.add_argument("--variant", default="n")
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--n-train", type=int, default=384)
+    p.add_argument("--out", default="weights/tissue_n_256.msgpack")
+    p.add_argument("--eval-n", type=int, default=32)
+    p.add_argument("--report", default=None,
+                   help="write the eval JSON report here")
+    args = p.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    log = logging.getLogger("eitx.train_tissue")
+
+    from flax import serialization
+
+    from ..train.checkpoint import save_checkpoint
+    from ..train.trainer import TrainConfig, Trainer, fit
+
+    t0 = time.time()
+    log.info("pregenerating %d phantoms...", args.n_train)
+    data = pregenerate(args.n_train, args.imgsz, 12, seed=0)
+    log.info("data ready in %.1fs", time.time() - t0)
+
+    cfg = TrainConfig(
+        imgsz=args.imgsz, variant=args.variant, lr=args.lr,
+        total_steps=args.steps, warmup_steps=min(100, args.steps // 10),
+        max_instances=12,
+    )
+    trainer = Trainer(cfg)
+    metrics, ema_params = fit(
+        trainer,
+        batches_from(data, args.batch),
+        steps=args.steps,
+        checkpoint_path=args.out + ".train",
+        checkpoint_every=max(200, args.steps // 4),
+    )
+    save_checkpoint(args.out + ".train", trainer.state)
+    # deployment checkpoint: EMA params + final batch stats
+    import os
+
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)) or ".",
+                exist_ok=True)
+    import jax
+
+    payload = {
+        "params": jax.device_get(ema_params),
+        "batch_stats": jax.device_get(trainer.state.batch_stats),
+        "meta": {
+            "variant": args.variant, "imgsz": args.imgsz, "nc": 4,
+            "steps": args.steps, "final_loss": float(metrics["loss"]),
+        },
+    }
+    with open(args.out, "wb") as fh:
+        fh.write(serialization.msgpack_serialize(payload))
+    log.info("saved %s (train wall %.1fs)", args.out, time.time() - t0)
+
+    report = evaluate_checkpoint(
+        args.out, args.imgsz, args.variant, n_eval=args.eval_n
+    )
+    report["final_train_metrics"] = {
+        k: round(v, 4) for k, v in metrics.items()
+    }
+    report["wall_s"] = round(time.time() - t0, 1)
+    print(json.dumps(report))
+    if args.report:
+        with open(args.report, "w") as fh:
+            json.dump(report, fh, indent=1)
+    return report
+
+
+if __name__ == "__main__":
+    main()

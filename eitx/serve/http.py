@@ -23,23 +23,101 @@ from ..core.errors import EitxError, IngestError
 logger = logging.getLogger("eitx.serve")
 
 
-def _parse_multipart(body: bytes, content_type: str) -> bytes:
-    """Extract the first file part from a multipart/form-data body."""
+class _LimitedReader:
+    """Reads at most ``length`` bytes from an underlying stream."""
+
+    def __init__(self, raw, length: int):
+        self._raw = raw
+        self.remaining = length
+
+    def read(self, n: int) -> bytes:
+        if self.remaining <= 0:
+            return b""
+        data = self._raw.read(min(n, self.remaining))
+        self.remaining -= len(data)
+        return data
+
+
+def _spool_body(reader: _LimitedReader, max_memory: int = 32 << 20):
+    """Stream the raw body into a spooled temp file (disk past 32 MB)."""
+    import tempfile
+
+    spool = tempfile.SpooledTemporaryFile(max_size=max_memory)
+    while True:
+        chunk = reader.read(1 << 20)
+        if not chunk:
+            break
+        spool.write(chunk)
+    spool.seek(0)
+    return spool
+
+
+def _parse_multipart_stream(
+    reader: _LimitedReader, content_type: str, max_memory: int = 32 << 20
+):
+    """Stream the FIRST file part of a multipart/form-data body to a
+    spooled temp file — a multi-hundred-MB DICOM series zip never sits in
+    memory twice (the reference streams through FastAPI's parser; the old
+    in-memory split here doubled RSS on large uploads).
+    """
+    import tempfile
+
     if "boundary=" not in content_type:
         raise IngestError("multipart body without boundary")
     boundary = content_type.split("boundary=", 1)[1].strip().strip('"')
-    delim = b"--" + boundary.encode()
-    for part in body.split(delim):
-        if b"\r\n\r\n" not in part:
-            continue
-        head, payload = part.split(b"\r\n\r\n", 1)
-        if b"filename=" in head or b'name="file"' in head:
-            # strip exactly the CRLF that precedes the next boundary —
-            # a blanket rstrip could eat legitimate payload bytes
-            if payload.endswith(b"\r\n"):
-                payload = payload[:-2]
-            return payload
-    raise IngestError("no file part in multipart body")
+    marker = b"\r\n--" + boundary.encode()  # terminates a payload
+    first = b"--" + boundary.encode()
+    buf = b""
+
+    def more() -> bool:
+        nonlocal buf
+        chunk = reader.read(1 << 20)
+        if not chunk:
+            return False
+        buf += chunk
+        return True
+
+    # skip preamble up to and including the first boundary line
+    while True:
+        idx = buf.find(first)
+        if idx >= 0:
+            buf = buf[idx:]
+            break
+        buf = buf[-(len(first) + 2):]
+        if not more():
+            raise IngestError("no multipart boundary found")
+    while True:
+        # headers of the current part end at the first blank line
+        while b"\r\n\r\n" not in buf:
+            if not more():
+                raise IngestError("truncated multipart headers")
+        head, buf = buf.split(b"\r\n\r\n", 1)
+        is_file = b"filename=" in head or b'name="file"' in head
+        spool = (
+            tempfile.SpooledTemporaryFile(max_size=max_memory)
+            if is_file
+            else None
+        )
+        # stream the payload until the next boundary marker, carrying a
+        # tail so a marker straddling two chunks is still found
+        while True:
+            idx = buf.find(marker)
+            if idx >= 0:
+                if spool is not None:
+                    spool.write(buf[:idx])
+                buf = buf[idx + len(marker):]
+                break
+            keep = len(marker) - 1
+            if len(buf) > keep:
+                if spool is not None:
+                    spool.write(buf[:-keep])
+                buf = buf[-keep:]
+            if not more():
+                raise IngestError("truncated multipart payload")
+        if spool is not None:
+            spool.seek(0)
+            return spool
+        # not the file part: continue to the next part's headers
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -80,11 +158,13 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             length = int(self.headers.get("Content-Length", "0"))
-            body = self.rfile.read(length)
+            reader = _LimitedReader(self.rfile, length)
             ctype = self.headers.get("Content-Type", "")
             if ctype.startswith("multipart/form-data"):
-                body = _parse_multipart(body, ctype)
-            answer = handler(BytesIO(body))
+                body = _parse_multipart_stream(reader, ctype)
+            else:
+                body = _spool_body(reader)
+            answer = handler(body)
             self._send(200, answer)
         except IngestError as e:
             logger.error("bad request on %s: %s", path, e)

@@ -1,0 +1,180 @@
+"""Thorax HU phantoms + pseudo-label training targets.
+
+The reference's tissue models are trained on CT slices pseudo-labeled by
+HU thresholds (scripts/create_femm_dataset.py:509-567,757-762). This module
+reproduces that recipe without patient data: anatomically-shaped random
+thorax phantoms in Hounsfield units (fat ring, muscle layer, two lungs,
+spine/sternum bone, soft-tissue noise), labeled by the SAME device
+pseudo-labeler the dataset builders use (scripts/pseudo_label.py), then
+converted to the trainer's instance targets (boxes / classes / proto-res
+masks). Train/inference preprocessing match: images are the WL40/WW400
+windowed uint8 slices the pipeline feeds the segmenter (utils.py:272-313).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+from ..image import window_normalize
+from ..scripts.pseudo_label import pseudo_label_slice
+
+# HU means per structure (typical thoracic CT values)
+_HU = {
+    "air": -1000.0,
+    "lung": -780.0,
+    "fat": -90.0,
+    "muscle": 35.0,
+    "bone": 350.0,
+}
+
+
+def _ellipse(xx, yy, cx, cy, rx, ry, rot=0.0):
+    ca, sa = np.cos(rot), np.sin(rot)
+    xr = (xx - cx) * ca + (yy - cy) * sa
+    yr = -(xx - cx) * sa + (yy - cy) * ca
+    return (xr / rx) ** 2 + (yr / ry) ** 2 < 1.0
+
+
+def thorax_phantom_hu(
+    rng: np.random.Generator, s: int = 256
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Random thorax slice in HU. Returns (hu (s, s) f32, body mask)."""
+    yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
+    cx = s / 2 + rng.uniform(-s * 0.04, s * 0.04)
+    cy = s / 2 + rng.uniform(-s * 0.04, s * 0.04)
+    rot = rng.uniform(-0.12, 0.12)
+    rx = s * rng.uniform(0.33, 0.42)
+    ry = s * rng.uniform(0.24, 0.32)
+
+    hu = np.full((s, s), _HU["air"], np.float32)
+    body = _ellipse(xx, yy, cx, cy, rx, ry, rot)
+    # fat ring (body minus muscle zone)
+    hu[body] = _HU["fat"]
+    muscle = _ellipse(xx, yy, cx, cy, rx * rng.uniform(0.88, 0.94),
+                      ry * rng.uniform(0.86, 0.93), rot)
+    hu[muscle] = _HU["muscle"]
+    # inner mediastinum fat pockets
+    for _ in range(rng.integers(0, 3)):
+        fx = cx + rng.uniform(-rx * 0.2, rx * 0.2)
+        fy = cy + rng.uniform(-ry * 0.3, ry * 0.3)
+        pocket = _ellipse(xx, yy, fx, fy, s * rng.uniform(0.02, 0.05),
+                          s * rng.uniform(0.02, 0.05), rng.uniform(0, 3))
+        hu[pocket & muscle] = _HU["fat"]
+    # two lungs (breathing-phase size jitter)
+    breath = rng.uniform(0.75, 1.1)
+    for side in (-1, 1):
+        lx = cx + side * rx * rng.uniform(0.36, 0.46)
+        ly = cy + ry * rng.uniform(-0.08, 0.08)
+        lrx = rx * rng.uniform(0.24, 0.32) * breath
+        lry = ry * rng.uniform(0.45, 0.62) * breath
+        lung = _ellipse(xx, yy, lx, ly, lrx, lry,
+                        rot + side * rng.uniform(0.0, 0.25))
+        hu[lung & muscle] = _HU["lung"]
+    # spine (posterior) + sternum (anterior) bone
+    sp = _ellipse(xx, yy, cx + rng.uniform(-2, 2),
+                  cy + ry * rng.uniform(0.55, 0.7),
+                  s * rng.uniform(0.035, 0.055),
+                  s * rng.uniform(0.03, 0.05), rot)
+    st = _ellipse(xx, yy, cx + rng.uniform(-2, 2),
+                  cy - ry * rng.uniform(0.72, 0.85),
+                  s * rng.uniform(0.02, 0.035),
+                  s * rng.uniform(0.012, 0.02), rot)
+    hu[sp & body] = _HU["bone"]
+    hu[st & body] = _HU["bone"]
+    # a couple of rib cross-sections on the muscle ring
+    for _ in range(rng.integers(2, 6)):
+        ang = rng.uniform(0, 2 * np.pi)
+        bx = cx + rx * 0.93 * np.cos(ang)
+        by = cy + ry * 0.93 * np.sin(ang)
+        rib = _ellipse(xx, yy, bx, by, s * 0.015, s * 0.01, ang)
+        hu[rib & body] = _HU["bone"]
+    hu += rng.normal(0.0, 12.0, hu.shape).astype(np.float32)
+    return hu, (body * 255).astype(np.uint8)
+
+
+def _instances_from_labels(
+    labels: np.ndarray, max_instances: int, proto_ds: int = 4
+):
+    """Label image -> (boxes (I,4), classes (I,), masks (I,h/4,w/4), valid)."""
+    from scipy import ndimage
+
+    h, w = labels.shape
+    out_boxes, out_cls, out_masks = [], [], []
+    for cid in range(4):
+        mask = labels == cid
+        if not mask.any():
+            continue
+        lab, n = ndimage.label(mask)
+        sizes = ndimage.sum(mask, lab, np.arange(1, n + 1))
+        for k in np.argsort(sizes)[::-1]:
+            if sizes[k] < 16:
+                continue
+            inst = lab == (k + 1)
+            ys, xs = np.nonzero(inst)
+            out_boxes.append(
+                [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]
+            )
+            out_cls.append(cid)
+            out_masks.append(inst[::proto_ds, ::proto_ds].astype(np.float32))
+    order = np.argsort(
+        [-(b[2] - b[0]) * (b[3] - b[1]) for b in out_boxes]
+    )[:max_instances]
+    I = max_instances
+    boxes = np.zeros((I, 4), np.float32)
+    classes = np.zeros((I,), np.int32)
+    masks = np.zeros((I, h // proto_ds, w // proto_ds), np.float32)
+    valid = np.zeros((I,), bool)
+    for j, k in enumerate(order):
+        boxes[j] = out_boxes[k]
+        classes[j] = out_cls[k]
+        masks[j] = out_masks[k]
+        valid[j] = True
+    return boxes, classes, masks, valid
+
+
+def phantom_batch(
+    batch: int,
+    imgsz: int = 256,
+    max_instances: int = 12,
+    rng: np.random.Generator = None,
+    return_labels: bool = False,
+) -> Dict[str, np.ndarray]:
+    """Training batch from HU phantoms pseudo-labeled on device."""
+    rng = rng or np.random.default_rng(0)
+    images = np.zeros((batch, imgsz, imgsz, 3), np.float32)
+    I = max_instances
+    boxes = np.zeros((batch, I, 4), np.float32)
+    classes = np.zeros((batch, I), np.int32)
+    masks = np.zeros((batch, I, imgsz // 4, imgsz // 4), np.float32)
+    valid = np.zeros((batch, I), bool)
+    label_imgs = np.zeros((batch, imgsz, imgsz), np.int32)
+    for b in range(batch):
+        hu, body = thorax_phantom_hu(rng, imgsz)
+        labels = pseudo_label_slice(hu, body)
+        img = np.asarray(window_normalize(hu, 40.0, 400.0))[::-1, ::-1]
+        labels = labels[::-1, ::-1]  # same rot180 as the windowed image
+        images[b] = np.repeat(img[..., None], 3, -1).astype(np.float32) / 255.0
+        boxes[b], classes[b], masks[b], valid[b] = _instances_from_labels(
+            labels, I
+        )
+        label_imgs[b] = labels
+    out = {
+        "images": images,
+        "boxes": boxes,
+        "classes": classes,
+        "masks": masks,
+        "valid": valid,
+    }
+    if return_labels:
+        out["labels"] = label_imgs
+    return out
+
+
+def phantom_data_iter(
+    batch: int, imgsz: int = 256, max_instances: int = 12, seed: int = 0
+):
+    rng = np.random.default_rng(seed)
+    while True:
+        yield phantom_batch(batch, imgsz, max_instances, rng)

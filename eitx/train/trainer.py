@@ -45,6 +45,13 @@ class TrainConfig:
     mask_w: float = 2.5
     center_radius: float = 2.5  # cells
     reg_max: int = 16
+    # 'tal' = task-aligned assignment (ultralytics' assigner: align =
+    # cls_score^alpha * IoU^beta, top-k per target); 'center' = the simpler
+    # center-radius fallback.
+    assigner: str = "tal"
+    tal_topk: int = 10
+    tal_alpha: float = 1.0
+    tal_beta: float = 6.0
 
 
 @dataclass
@@ -87,6 +94,52 @@ def _assign(anchors, strides, boxes, valid, center_radius):
     best = jnp.argmin(cost, axis=1)
     has = jnp.isfinite(cost.min(axis=1))
     return jnp.where(has, best, -1)
+
+
+def _assign_tal(
+    anchors, pred_boxes, cls_logits, boxes, classes, valid,
+    topk: int, alpha: float, beta: float,
+):
+    """Task-aligned assignment (the ultralytics TAL assigner).
+
+    align(a, i) = score_a[class_i]^alpha * IoU(pred_a, gt_i)^beta for
+    anchors whose center lies inside gt_i; each target keeps its top-k
+    anchors by align; an anchor claimed by several targets goes to the one
+    with the highest align. Returns ((A,) int32 target index or -1,
+    (A, I) align matrix for soft cls targets).
+    """
+    ax, ay = anchors[:, 0][:, None], anchors[:, 1][:, None]
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    inside = (ax >= x1) & (ax <= x2) & (ay >= y1) & (ay <= y2)  # (A, I)
+    ok = inside & (valid[None, :] > 0)
+    iou_ai = _pairwise_iou(pred_boxes, boxes)  # (A, I)
+    score = jax.nn.sigmoid(cls_logits)  # (A, nc)
+    score_ai = jnp.take_along_axis(
+        score, jnp.broadcast_to(classes[None, :], ok.shape), axis=1
+    )  # (A, I)
+    align = jnp.where(
+        ok, (score_ai ** alpha) * (jnp.clip(iou_ai, 0.0) ** beta), 0.0
+    )
+    # per-target top-k candidate threshold
+    k = min(topk, align.shape[0])
+    kth = jnp.sort(align, axis=0)[-k, :]  # (I,)
+    cand = ok & (align >= jnp.maximum(kth[None, :], 1e-12)) & (align > 0)
+    align_c = jnp.where(cand, align, -1.0)
+    best = jnp.argmax(align_c, axis=1)  # (A,)
+    has = align_c.max(axis=1) > 0
+    return jnp.where(has, best, -1), align
+
+
+def _pairwise_iou(a, b):
+    """(A, 4) x (I, 4) xyxy -> (A, I) IoU."""
+    ax1, ay1, ax2, ay2 = a[:, 0:1], a[:, 1:2], a[:, 2:3], a[:, 3:4]
+    bx1, by1, bx2, by2 = b[None, :, 0], b[None, :, 1], b[None, :, 2], b[None, :, 3]
+    iw = jnp.clip(jnp.minimum(ax2, bx2) - jnp.maximum(ax1, bx1), 0.0)
+    ih = jnp.clip(jnp.minimum(ay2, by2) - jnp.maximum(ay1, by1), 0.0)
+    inter = iw * ih
+    area_a = jnp.clip(ax2 - ax1, 0.0) * jnp.clip(ay2 - ay1, 0.0)
+    area_b = jnp.clip(bx2 - bx1, 0.0) * jnp.clip(by2 - by1, 0.0)
+    return inter / jnp.clip(area_a + area_b - inter, 1e-9)
 
 
 class Trainer:
@@ -155,19 +208,7 @@ class Trainer:
         anchors, strides = self.anchors, self.strides
 
         def per_image(bl, cl, co, pr, boxes, classes, masks, valid):
-            assigned = _assign(anchors, strides, boxes, valid,
-                               cfg.center_radius)
-            pos = assigned >= 0
-            tgt = jnp.maximum(assigned, 0)
-            tboxes = boxes[tgt]  # (A, 4)
-            tcls = classes[tgt]
-            n_pos = jnp.maximum(pos.sum(), 1)
-
-            # classification BCE over all anchors
-            onehot = jax.nn.one_hot(tcls, cfg.nc) * pos[:, None]
-            l_cls = optax_sigmoid_bce(cl, onehot).sum() / n_pos
-
-            # box: decode distances, CIoU on positives
+            # decode predicted boxes first (TAL scores them)
             d = _dfl(bl, reg_max) * strides[:, None]  # (A, 4) px
             pb = jnp.stack(
                 [
@@ -178,7 +219,48 @@ class Trainer:
                 ],
                 -1,
             )
-            l_box = ((1.0 - ciou(pb, tboxes)) * pos).sum() / n_pos
+            if cfg.assigner == "tal":
+                assigned, align = _assign_tal(
+                    anchors, jax.lax.stop_gradient(pb),
+                    jax.lax.stop_gradient(cl), boxes, classes, valid,
+                    cfg.tal_topk, cfg.tal_alpha, cfg.tal_beta,
+                )
+            else:
+                assigned = _assign(anchors, strides, boxes, valid,
+                                   cfg.center_radius)
+                align = None
+            pos = assigned >= 0
+            tgt = jnp.maximum(assigned, 0)
+            tboxes = boxes[tgt]  # (A, 4)
+            tcls = classes[tgt]
+            n_pos = jnp.maximum(pos.sum(), 1)
+
+            if align is None:
+                soft = pos.astype(cl.dtype)  # hard 1.0 targets
+            else:
+                # ultralytics normalization: per-target align scaled so its
+                # best anchor's target equals the target's best IoU
+                iou_ai = _pairwise_iou(jax.lax.stop_gradient(pb), boxes)
+                max_align = align.max(axis=0)  # (I,)
+                max_iou = jnp.clip(iou_ai, 0.0).max(axis=0)  # (I,)
+                norm = align * (
+                    max_iou / jnp.clip(max_align, 1e-9)
+                )[None, :]  # (A, I)
+                soft = jnp.take_along_axis(
+                    norm, tgt[:, None], axis=1
+                )[:, 0] * pos
+
+            # classification BCE over all anchors (soft targets under TAL)
+            onehot = jax.nn.one_hot(tcls, cfg.nc) * soft[:, None]
+            l_cls = optax_sigmoid_bce(cl, onehot).sum() / jnp.maximum(
+                soft.sum(), 1.0
+            )
+
+            # box: CIoU on positives, weighted by the soft target score
+            w_box = jnp.where(pos, jnp.maximum(soft, 1e-3), 0.0)
+            l_box = ((1.0 - ciou(pb, tboxes)) * w_box).sum() / jnp.maximum(
+                w_box.sum(), 1e-3
+            )
 
             # dfl against target distances in stride units
             tdist = jnp.stack(

@@ -55,3 +55,31 @@ def test_train_checkpoint_roundtrip(tmp_path):
     a = jax.tree_util.tree_leaves(jax.device_get(tr.state.params))
     b = jax.tree_util.tree_leaves(restored.params)
     assert all(np.allclose(x, y) for x, y in zip(a, b))
+
+
+def test_generate_batch_batched_spectral(tmp_path):
+    """Same-bucket subjects run through the vmapped setup path and write
+    identical-format shards; manifest marks them batched."""
+    import numpy as np
+    from eitx.core.config import SimulationConfig
+    from eitx.pipeline.batch import generate_batch, load_manifest
+    from meshfix import disk_mesh_with_classes
+
+    subjects = []
+    for i, nb in enumerate((40, 48)):
+        nodes, tris, cls = disk_mesh_with_classes(nb, 6)
+        subjects.append(
+            (f"s{i}", {"NODES": nodes * 100.0, "TRIANGLES": tris,
+                       "CLASS": cls})
+        )
+    out = str(tmp_path / "batched")
+    cfg = SimulationConfig(n_points=3, pad_nodes_to=512, pad_elems_to=1024)
+    man = generate_batch(subjects, out, cfg, batch_subjects=True)
+    assert all(s["status"] == "done" for s in man["subjects"].values())
+    assert all(s.get("batched") for s in man["subjects"].values())
+    man2 = load_manifest(out)
+    assert man2 == man
+    import os
+    rows = open(os.path.join(out, "results_s0.dat")).read().strip().split("\n")
+    assert len(rows) == 3 * 12  # n_points * n_spir
+    assert len(rows[0].split()) == 208

@@ -111,3 +111,50 @@ def test_synthetic_ventilation_is_plausible():
     assert v.shape[1] == 2
     x = v[:, 1]
     assert -0.2 < x.min() < 0.3 and 0.7 < x.max() < 1.2
+
+
+def test_packaged_ventilation_trace():
+    """The shipped recorded-style capture loads, has the reference's row
+    count, and looks like breathing (dominant frequency in 0.1-0.5 Hz)."""
+    from eitx.physio.spirometry import get_spirometry_ref
+
+    trace = get_spirometry_ref()
+    assert trace.shape == (2840, 2)
+    t, x = trace[:, 0], trace[:, 1]
+    assert 0.0 <= x.min() and x.max() <= 1.0
+    fs = 1.0 / np.median(np.diff(t))
+    spec = np.abs(np.fft.rfft(x - x.mean()))
+    freqs = np.fft.rfftfreq(x.size, 1.0 / fs)
+    f_peak = freqs[np.argmax(spec)]
+    assert 0.1 < f_peak < 0.5, f_peak
+    # cycle-period jitter: a real capture is not a pure sine
+    zero_up = np.where((x[:-1] < 0.5) & (x[1:] >= 0.5))[0]
+    periods = np.diff(t[zero_up])
+    periods = periods[periods > 1.0]
+    assert periods.std() / periods.mean() > 0.02
+
+
+def test_recorded_schedule_monitoring():
+    """spirometry_source='recorded' drives a full monitoring run with
+    irregular (capture-shaped) lung conductivity."""
+    from eitx.core.config import SimulationConfig
+    from eitx.fem import simulate_eit_monitoring
+    from eitx.physio.materials import generate_material_tables
+    from eitx.physio.spirometry import recorded_schedule
+    from meshfix import disk_mesh_with_classes
+
+    mats = generate_material_tables()
+    sample, cond = recorded_schedule(50, 5e4, mats)
+    assert cond.shape == (50, 2)
+    assert cond[:, 1].std() > 0  # breathing modulates conductivity
+    # irregularity: unlike the synthetic sine, the recorded trace is not
+    # periodic with a single period
+    nodes, tris, cls = disk_mesh_with_classes(40, 5)
+    mesh = {"NODES": nodes * 100.0, "TRIANGLES": tris, "CLASS": cls}
+    cfg = SimulationConfig(n_points=6, spirometry_source="recorded",
+                           pad_nodes_to=256, pad_elems_to=512)
+    v, dt = simulate_eit_monitoring(mesh, cfg)
+    assert v.shape == (6, 208) and np.isfinite(v).all()
+    cfg2 = SimulationConfig(n_points=6, pad_nodes_to=256, pad_elems_to=512)
+    v2, _ = simulate_eit_monitoring(mesh, cfg2)
+    assert not np.allclose(v, v2)  # different breathing source

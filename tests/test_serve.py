@@ -8,7 +8,6 @@ import pytest
 
 from eitx.core.errors import IngestError
 from eitx.serve import EitxHTTPServer
-from eitx.serve.http import _parse_multipart
 
 
 class StubPipeline:
@@ -119,11 +118,55 @@ def test_health(server):
 
 
 def test_parse_multipart_extracts_payload():
-    boundary = "bb"
+    import io
+    from eitx.serve.http import _LimitedReader, _parse_multipart_stream
+
     blob = b"PK\x03\x04payload"
     body = (
         b"--bb\r\nContent-Disposition: form-data; name=\"file\"; "
         b"filename=\"f\"\r\n\r\n" + blob + b"\r\n--bb--\r\n"
     )
-    out = _parse_multipart(body, "multipart/form-data; boundary=bb")
+    out = _parse_multipart_stream(
+        _LimitedReader(io.BytesIO(body), len(body)),
+        "multipart/form-data; boundary=bb",
+    ).read()
     assert out == blob
+
+
+def test_multipart_streaming_parser():
+    """Chunk-straddling boundaries and a non-file first part must both
+    parse; payload returned byte-exact without whole-body buffering."""
+    import io
+    from eitx.serve.http import _LimitedReader, _parse_multipart_stream
+
+    boundary = "XbOuNdX"
+    payload = bytes(range(256)) * 40000  # ~10 MB, crosses 1 MB read chunks
+    body = (
+        b"--XbOuNdX\r\n"
+        b'Content-Disposition: form-data; name="comment"\r\n\r\n'
+        b"not the file\r\n"
+        b"--XbOuNdX\r\n"
+        b'Content-Disposition: form-data; name="file"; filename="a.zip"\r\n'
+        b"Content-Type: application/zip\r\n\r\n"
+        + payload
+        + b"\r\n--XbOuNdX--\r\n"
+    )
+    reader = _LimitedReader(io.BytesIO(body), len(body))
+    spool = _parse_multipart_stream(
+        reader, f"multipart/form-data; boundary={boundary}"
+    )
+    got = spool.read()
+    assert got == payload
+
+    # payload containing boundary-like bytes mid-stream must survive
+    tricky = b"A" * 100 + b"\r\n--XbOuNd" + b"B" * 100  # near-marker prefix
+    body2 = (
+        b"--XbOuNdX\r\n"
+        b'Content-Disposition: form-data; name="file"; filename="b"\r\n\r\n'
+        + tricky
+        + b"\r\n--XbOuNdX--\r\n"
+    )
+    reader2 = _LimitedReader(io.BytesIO(body2), len(body2))
+    assert _parse_multipart_stream(
+        reader2, f"multipart/form-data; boundary={boundary}"
+    ).read() == tricky

@@ -44,3 +44,40 @@ def test_spectral_breathing_modulation_monotone():
     d01 = np.abs(v[1] - v[0]).max()
     d02 = np.abs(v[2] - v[0]).max()
     assert d02 > d01 > 0
+
+
+def test_build_batch_matches_per_subject():
+    """Batched (vmapped) pencil setup must reproduce per-subject solvers."""
+    import numpy as np
+    from eitx.fem.assembly import ClassStiffness
+    from eitx.fem.electrodes import place_electrodes_equal_spacing
+    from eitx.fem.protocol import create_protocol
+    from eitx.fem.spectral import SpectralEITSolver
+    from meshfix import disk_mesh_with_classes
+
+    proto = create_protocol(16, 1, 1, "std")
+    subs = []
+    for nb in (40, 48):  # two subjects, same node bucket after padding
+        nodes, tris, cls = disk_mesh_with_classes(nb, 6)
+        el = place_electrodes_equal_spacing(nodes, tris, 16,
+                                            starting_angle=np.pi)
+        cs = ClassStiffness.build(nodes, tris, cls, n_classes=5,
+                                  pad_nodes_to=512, pad_elems_to=1024)
+        subs.append((cs, el))
+    sigma0 = np.array([0.006, 0.35, 0.15, 0.017, 0.0002])
+    alphas = np.linspace(0.1, 0.2, 5)
+    a0 = float(alphas.mean())
+
+    batched = SpectralEITSolver.build_batch(
+        [cs for cs, _ in subs], sigma0, 2, [el for _, el in subs],
+        proto.ex_mat, proto.meas_mat, [a0, a0],
+    )
+    for (cs, el), bsolver in zip(subs, batched):
+        single = SpectralEITSolver.build(
+            cs, sigma0, 2, el, proto.ex_mat, proto.meas_mat, a0
+        )
+        va = np.asarray(single.solve(alphas))
+        vb = np.asarray(bsolver.solve(alphas))
+        assert np.allclose(va, vb, rtol=2e-4, atol=1e-7), (
+            np.abs(va - vb).max()
+        )

@@ -107,3 +107,41 @@ def test_fit_loop_with_ema_and_checkpoint(tmp_path):
     raw = jax.tree_util.tree_leaves(jax.device_get(tr.state.params))
     ema = jax.tree_util.tree_leaves(jax.device_get(ema_params))
     assert any(not np.allclose(a, b) for a, b in zip(raw, ema))
+
+
+def test_assigner_tal_prefers_high_align():
+    """TAL: anchors with accurate predicted boxes + confident class score
+    win the assignment; anchors outside every target stay negative."""
+    from eitx.train.trainer import _assign_tal
+
+    anchors = jnp.asarray([[10.0, 10.0], [30.0, 30.0], [90.0, 90.0]])
+    boxes = jnp.asarray([[0.0, 0.0, 40.0, 40.0], [80.0, 80.0, 100.0, 100.0]])
+    classes = jnp.asarray([1, 2], jnp.int32)
+    valid = jnp.asarray([1.0, 1.0])
+    # anchor 0 predicts target 0's box exactly with high class-1 score;
+    # anchor 1 predicts it poorly; anchor 2 sits in target 1
+    pred = jnp.asarray([
+        [0.0, 0.0, 40.0, 40.0],
+        [25.0, 25.0, 32.0, 32.0],
+        [80.0, 80.0, 100.0, 100.0],
+    ])
+    logits = jnp.asarray([
+        [-4.0, 4.0, -4.0, -4.0],
+        [-4.0, 0.0, -4.0, -4.0],
+        [-4.0, -4.0, 4.0, -4.0],
+    ])
+    assigned, align = _assign_tal(
+        anchors, pred, logits, boxes, classes, valid, topk=2,
+        alpha=1.0, beta=6.0,
+    )
+    assigned = np.asarray(assigned)
+    assert assigned[0] == 0
+    assert assigned[2] == 1
+    a = np.asarray(align)
+    assert a[0, 0] > a[1, 0]  # exact box + confident score wins
+    # invalid targets never assign
+    assigned2, _ = _assign_tal(
+        anchors, pred, logits, boxes, classes, jnp.asarray([1.0, 0.0]),
+        topk=2, alpha=1.0, beta=6.0,
+    )
+    assert not (np.asarray(assigned2) == 1).any()

@@ -357,3 +357,15 @@ def test_ptread_raw_state_dict(tmp_path):
     assert np.allclose(state["b.bias"], 1.0)
     assert np.allclose(state["c.weight"],
                        np.arange(12).reshape(3, 4).T)
+
+
+def test_segment_labels_chunked_matches_single():
+    """The streamed/chunked path must produce identical labels to the
+    single-dispatch path, including a ragged tail batch."""
+    seg = TissueSegmenter(imgsz=IMG, variant="n", max_det=8, seed=3)
+    rng = np.random.default_rng(5)
+    imgs = rng.integers(0, 255, (11, IMG, IMG), dtype=np.uint8)
+    whole = seg.segment_labels(imgs, chunk=64)   # single dispatch
+    parts = seg.segment_labels(imgs, chunk=4)    # 2 full chunks + pad tail
+    assert whole.shape == (11, IMG, IMG)
+    assert np.array_equal(whole, parts)
