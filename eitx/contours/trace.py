@@ -1,18 +1,95 @@
 """External contour extraction from binary masks.
 
 Replaces cv2.findContours(RETR_EXTERNAL) (used ~15x in the reference, e.g.
-utils.py:572,1173,1246). Connected components come from scipy.ndimage (C
-native); each component's outer boundary is traced with Moore-neighbour
+utils.py:572,1173,1246). Connected components + Moore-neighbour boundary
 tracing (Jacob's stopping criterion), yielding 8-connected boundary pixels
 in (x, y) order like OpenCV's CHAIN_APPROX_NONE.
+
+Two implementations with identical outputs: the native C++ tracer
+(eitx/native/contours.cpp — the default; ~50x faster per 512^2 mask, which
+matters because every request traces body + 4 class masks on the host) and
+the pure-Python/scipy path (fallback + the semantics reference in tests).
+Set EITX_NATIVE_CONTOURS=0 to force the Python path.
 """
 
 from __future__ import annotations
 
-from typing import List
+import ctypes
+import logging
+import os
+import subprocess
+from typing import List, Optional
 
 import numpy as np
 from scipy import ndimage
+
+logger = logging.getLogger("eitx.contours")
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+_LIB: Optional[ctypes.CDLL] = None
+_LIB_TRIED = False
+
+
+def _load_native() -> Optional[ctypes.CDLL]:
+    global _LIB, _LIB_TRIED
+    if _LIB_TRIED:
+        return _LIB
+    _LIB_TRIED = True
+    if os.environ.get("EITX_NATIVE_CONTOURS", "1") == "0":
+        return None
+    so = os.path.abspath(os.path.join(_NATIVE_DIR, "libeitxcontours.so"))
+    src = os.path.abspath(os.path.join(_NATIVE_DIR, "contours.cpp"))
+    if not os.path.exists(so) and os.path.exists(src):
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-o", so,
+                 src],
+                check=True, capture_output=True,
+            )
+        except Exception as e:  # pragma: no cover
+            logger.warning("native contours build failed (%s); fallback", e)
+            return None
+    if not os.path.exists(so):
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+        lib.eitx_trace_external_contours.restype = ctypes.c_int
+        lib.eitx_trace_external_contours.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+        ]
+        _LIB = lib
+    except OSError as e:  # pragma: no cover
+        logger.warning("native contours load failed (%s); fallback", e)
+    return _LIB
+
+
+def _find_external_contours_native(
+    mask: np.ndarray, min_pixels: int
+) -> Optional[List[np.ndarray]]:
+    lib = _load_native()
+    if lib is None:
+        return None
+    m = np.ascontiguousarray((np.asarray(mask) > 0).astype(np.uint8))
+    h, w = m.shape
+    max_contours = 16384
+    starts = np.empty((max_contours + 1,), np.int64)
+    # realistic boundaries are O(h + w) points; retry with the worst-case
+    # capacity only if the small buffer overflows
+    for cap_pts in (max(16384, 16 * (h + w)), 4 * h * w + 1024):
+        out = np.empty((cap_pts, 2), np.int64)
+        n = lib.eitx_trace_external_contours(
+            m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+            int(min_pixels),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap_pts,
+            starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            max_contours,
+        )
+        if n >= 0:
+            return [out[starts[i]:starts[i + 1]].copy() for i in range(n)]
+    return None  # capacity exceeded twice: fall back
 
 # Moore neighbourhood in clockwise order starting from W (dx, dy).
 _MOORE = np.array(
@@ -71,6 +148,9 @@ def find_external_contours(
     label (top-to-bottom discovery order, like OpenCV). Components smaller
     than ``min_pixels`` are skipped.
     """
+    native = _find_external_contours_native(mask, min_pixels)
+    if native is not None:
+        return native
     m = np.asarray(mask) > 0
     structure = np.ones((3, 3), dtype=np.int64)
     labels, n = ndimage.label(m, structure=structure)

@@ -111,12 +111,17 @@ def main(argv=None):
         max_instances=12,
     )
     trainer = Trainer(cfg)
+    from ..train.phantoms import phantom_batch
+
+    val = phantom_batch(args.batch, args.imgsz, 12,
+                        np.random.default_rng(555))
     metrics, ema_params = fit(
         trainer,
         batches_from(data, args.batch),
         steps=args.steps,
         checkpoint_path=args.out + ".train",
         checkpoint_every=max(200, args.steps // 4),
+        val_batch=val,
     )
     save_checkpoint(args.out + ".train", trainer.state)
     # deployment checkpoint: EMA params + final batch stats

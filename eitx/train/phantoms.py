@@ -178,3 +178,92 @@ def phantom_data_iter(
     rng = np.random.default_rng(seed)
     while True:
         yield phantom_batch(batch, imgsz, max_instances, rng)
+
+
+# --- frontal rib-view phantoms (rib detector training) -------------------
+
+
+def frontal_rib_phantom(
+    rng: np.random.Generator, s: int = 640, n_pairs: int = None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Synthetic frontal (coronal) CT view with rib bands.
+
+    Mimics the reconstructed frontal slice the rib detector sees
+    (utils.py:114-163: axial stack -> transpose -> min-max normalize):
+    a torso band, a bright spine column, darker lung fields, and N rib
+    pairs as tilted bright bands. Returns (image (s, s) uint8,
+    boxes (2*N, 4) xyxy float32) — one box per rib instance.
+    """
+    n_pairs = n_pairs or int(rng.integers(8, 11))
+    img = rng.normal(18, 6, (s, s)).astype(np.float32)
+    yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
+    cx = s / 2 + rng.uniform(-s * 0.03, s * 0.03)
+    half_w = s * rng.uniform(0.30, 0.38)
+    torso = np.abs(xx - cx) < half_w
+    img[torso] += 50 + rng.normal(0, 4, int(torso.sum()))
+    # lung fields: darker panels either side of the spine
+    for side in (-1, 1):
+        lung = (np.abs(xx - (cx + side * half_w * 0.52)) < half_w * 0.42) & (
+            yy > s * 0.12
+        ) & (yy < s * 0.75)
+        img[lung] -= 28
+    # spine column
+    spine = np.abs(xx - cx) < s * rng.uniform(0.025, 0.04)
+    img[spine] += 70
+    boxes = []
+    y0 = s * rng.uniform(0.10, 0.16)
+    pitch = s * rng.uniform(0.055, 0.075)
+    for k in range(n_pairs):
+        cy = y0 + k * pitch
+        if cy > s * 0.9:
+            break
+        for side in (-1, 1):
+            bx = cx + side * half_w * rng.uniform(0.45, 0.62)
+            tilt = side * rng.uniform(0.12, 0.3)
+            rx = half_w * rng.uniform(0.30, 0.42)
+            ry = s * rng.uniform(0.008, 0.014)
+            band = _ellipse(xx, yy, bx, cy, rx, ry, tilt)
+            img[band] += 85
+            ys, xs = np.nonzero(band)
+            if ys.size < 8:
+                continue
+            boxes.append([xs.min(), ys.min(), xs.max() + 1, ys.max() + 1])
+    img = np.clip(img, 0, 255)
+    # min-max normalize like the pipeline's frontal slice
+    img = (img - img.min()) / max(img.max() - img.min(), 1e-6) * 255.0
+    return img.astype(np.uint8), np.asarray(boxes, np.float32)
+
+
+def rib_batch(
+    batch: int,
+    imgsz: int = 640,
+    max_instances: int = 24,
+    rng: np.random.Generator = None,
+    return_boxes: bool = False,
+) -> Dict[str, np.ndarray]:
+    """Detect-only training batch for the rib model (class 0 = rib)."""
+    rng = rng or np.random.default_rng(0)
+    I = max_instances
+    images = np.zeros((batch, imgsz, imgsz, 3), np.float32)
+    boxes = np.zeros((batch, I, 4), np.float32)
+    classes = np.zeros((batch, I), np.int32)
+    masks = np.zeros((batch, I, imgsz // 4, imgsz // 4), np.float32)
+    valid = np.zeros((batch, I), bool)
+    raw_boxes = []
+    for b in range(batch):
+        img, bx = frontal_rib_phantom(rng, imgsz)
+        images[b] = np.repeat(img[..., None], 3, -1).astype(np.float32) / 255.0
+        n = min(bx.shape[0], I)
+        boxes[b, :n] = bx[:n]
+        valid[b, :n] = True
+        raw_boxes.append(bx)
+    out = {
+        "images": images,
+        "boxes": boxes,
+        "classes": classes,
+        "masks": masks,
+        "valid": valid,
+    }
+    if return_boxes:
+        out["raw_boxes"] = raw_boxes
+    return out

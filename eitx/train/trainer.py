@@ -49,6 +49,7 @@ class TrainConfig:
     # cls_score^alpha * IoU^beta, top-k per target); 'center' = the simpler
     # center-radius fallback.
     assigner: str = "tal"
+    segment: bool = True  # False trains a detect-only head (rib model)
     tal_topk: int = 10
     tal_alpha: float = 1.0
     tal_beta: float = 6.0
@@ -151,7 +152,7 @@ class Trainer:
     ):
         self.cfg = cfg
         self.mesh = mesh
-        spec = yolov11_spec(cfg.variant, nc=cfg.nc, segment=True)
+        spec = yolov11_spec(cfg.variant, nc=cfg.nc, segment=cfg.segment)
         self.model = YoloV11(spec)
         variables = self.model.init(
             jax.random.PRNGKey(seed),
@@ -183,6 +184,7 @@ class Trainer:
         )
         self.anchors, self.strides = _anchors_for(cfg.imgsz)
         self._step_fn = self._build_step()
+        self._eval_fn = None
 
     # ------------------------------------------------------------------
     def _loss_fn(self, params, batch_stats, batch):
@@ -201,10 +203,17 @@ class Trainer:
         cls_logits = jnp.concatenate(
             [cm.reshape(B, -1, cfg.nc) for _, cm in out["levels"]], 1
         )
-        coefs = jnp.concatenate(
-            [m.reshape(B, -1, m.shape[-1]) for m in out["mask_coefs"]], 1
-        )
-        proto = out["proto"]  # (B, Hp, Wp, nm)
+        if cfg.segment:
+            coefs = jnp.concatenate(
+                [m.reshape(B, -1, m.shape[-1]) for m in out["mask_coefs"]], 1
+            )
+            proto = out["proto"]  # (B, Hp, Wp, nm)
+        else:  # detect-only: zero-width stand-ins keep one code path
+            A = box_logits.shape[1]
+            coefs = jnp.zeros((B, A, 1), box_logits.dtype)
+            proto = jnp.zeros(
+                (B, cfg.imgsz // 4, cfg.imgsz // 4, 1), box_logits.dtype
+            )
         anchors, strides = self.anchors, self.strides
 
         def per_image(bl, cl, co, pr, boxes, classes, masks, valid):
@@ -293,11 +302,12 @@ class Trainer:
             box_logits, cls_logits, coefs, proto,
             batch["boxes"], batch["classes"], batch["masks"], batch["valid"],
         )
+        mask_w = cfg.mask_w if cfg.segment else 0.0
         loss = (
             cfg.cls_w * l_cls.mean()
             + cfg.box_w * l_box.mean()
             + cfg.dfl_w * l_dfl.mean()
-            + cfg.mask_w * l_mask.mean()
+            + mask_w * l_mask.mean()
         )
         metrics = {
             "loss": loss,
@@ -322,6 +332,21 @@ class Trainer:
             return params, new_stats, opt_state, metrics
 
         return step
+
+    def eval_loss(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:
+        """Loss metrics on a batch WITHOUT an optimizer update (validation)."""
+        if self._eval_fn is None:
+
+            @jax.jit
+            def ev(params, batch_stats, batch):
+                _, (_, metrics) = self._loss_fn(params, batch_stats, batch)
+                return metrics
+
+            self._eval_fn = ev
+        b = {k: jnp.asarray(v) for k, v in batch.items()}
+        b["valid"] = b["valid"].astype(jnp.float32)
+        metrics = self._eval_fn(self.state.params, self.state.batch_stats, b)
+        return {k: float(v) for k, v in metrics.items()}
 
     def train_step(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:
         b = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -362,9 +387,13 @@ def fit(
     log_every: int = 50,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 500,
+    val_batch: Optional[Dict[str, np.ndarray]] = None,
+    val_every: int = 200,
 ):
-    """Minimal training loop: steps batches from ``data_iter`` with EMA
-    and periodic checkpointing. Returns (final metrics, EMA params)."""
+    """Minimal training loop: steps batches from ``data_iter`` with EMA,
+    periodic checkpointing, and (when ``val_batch`` is given) a held-out
+    validation loss logged every ``val_every`` steps. Returns
+    (final metrics, EMA params)."""
     import logging
 
     log = logging.getLogger("eitx.train")
@@ -377,6 +406,11 @@ def fit(
         if log_every and step % log_every == 0:
             log.info("step %d: %s", step,
                      {k: round(v, 4) for k, v in metrics.items()})
+        if val_batch is not None and (step + 1) % val_every == 0:
+            vm = trainer.eval_loss(val_batch)
+            metrics["val_loss"] = vm["loss"]
+            log.info("step %d VAL: %s", step,
+                     {k: round(v, 4) for k, v in vm.items()})
         if checkpoint_path and (step + 1) % checkpoint_every == 0:
             from .checkpoint import save_checkpoint
 

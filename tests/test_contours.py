@@ -104,3 +104,44 @@ def test_yolo_label_roundtrip():
     cid, back = from_yolo_label(line, (512, 512))
     assert cid == 1
     assert np.allclose(back, poly, atol=0.01)
+
+
+def test_native_tracer_matches_python():
+    """The C++ tracer (default path) must be bit-identical to the Python
+    Moore tracer across shapes: ellipse, 1-px appendages, isolated pixels,
+    dense noise, holes."""
+    import os
+
+    import eitx.contours.trace as T
+
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:128, 0:128]
+    cases = [
+        ((xx - 64.0) / 50) ** 2 + ((yy - 64.0) / 35) ** 2 < 1,
+        rng.random((96, 96)) > 0.62,
+        np.zeros((16, 16), bool),
+    ]
+    bar = np.zeros((64, 64), bool)
+    bar[10, 10] = True
+    bar[20:23, 20:40] = True
+    bar[40, 5:60] = True  # 1-px line exercises Jacob's criterion
+    cases.append(bar)
+    hole = np.zeros((48, 48), bool)
+    hole[10:30, 10:30] = True
+    hole[15:25, 15:25] = False  # internal hole: external-only semantics
+    cases.append(hole)
+    if T._load_native() is None:
+        pytest.skip("native contour library unavailable")
+    for m in cases:
+        nat = T._find_external_contours_native(m, 1)
+        os.environ["EITX_NATIVE_CONTOURS"] = "0"
+        T._LIB_TRIED, T._LIB = False, None
+        try:
+            py = T.find_external_contours(m, 1)
+        finally:
+            os.environ["EITX_NATIVE_CONTOURS"] = "1"
+            T._LIB_TRIED, T._LIB = False, None
+        assert nat is not None
+        assert len(nat) == len(py)
+        for a, b in zip(nat, py):
+            assert np.array_equal(a, b)
