@@ -3,7 +3,7 @@ from .electrodes import boundary_loop, place_electrodes_equal_spacing
 from .protocol import Protocol, abs_to_diff, create_protocol
 from .solver import forward_solve, forward_solve_batched, forward_solve_cg
 from .spectral import SpectralEITSolver
-from .admittance import forward_solve_admittance
+from .admittance import forward_solve_admittance, simulate_eit_spectroscopy
 from .sheffield import (
     electrode_averaging_matrix,
     sheffield_ex_mat,
@@ -32,6 +32,7 @@ __all__ = [
     "forward_solve_cg",
     "SpectralEITSolver",
     "forward_solve_admittance",
+    "simulate_eit_spectroscopy",
     "electrode_averaging_matrix",
     "sheffield_ex_mat",
     "sheffield_monitoring",

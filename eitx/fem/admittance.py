@@ -29,6 +29,70 @@ from .solver import _measure, _rhs_matrix
 EPS0 = 8.8541878128e-12
 
 
+def simulate_eit_spectroscopy(
+    mesh_data,
+    freqs,
+    classes=None,
+    cfg=None,
+    materials_location=None,
+):
+    """Multi-frequency EIT sweep: complex voltages at every frequency.
+
+    EIT spectroscopy — solve the complex admittance problem y = sigma(f) +
+    j*omega*eps0*eps_r(f) for a whole frequency grid in one vmapped XLA
+    program. The reference's materials tables are frequency-resolved
+    (femm_api.py:50-74) but its pipeline only ever evaluates one working
+    frequency; the batched solver makes the full sweep as cheap per
+    frequency as a single solve. Returns (F, n_exc, n_meas) complex128.
+    """
+    import numpy as np
+
+    from ..core.config import ClassMap, SimulationConfig
+    from ..physio.materials import get_materials, interp_at_freq
+    from .electrodes import place_electrodes_equal_spacing
+    from .forward import compact_mesh_nodes, prepare_mesh_info
+    from .protocol import create_protocol
+
+    classes = classes or ClassMap()
+    cfg = cfg or SimulationConfig()
+    info = compact_mesh_nodes(prepare_mesh_info(mesh_data, classes))
+    mats = get_materials(materials_location)
+    id_to_name = classes.id_to_name()
+    freqs = np.asarray(freqs, np.float64)
+    F = freqs.shape[0]
+    M = info.element.shape[0]
+    sig = np.zeros((F, M), np.float32)
+    eps = np.zeros((F, M), np.float32)
+    for cid, name in id_to_name.items():
+        sel = info.cond == cid
+        if not sel.any():
+            continue
+        for k, f in enumerate(freqs):
+            sig[k, sel] = interp_at_freq(mats[name]["cond"], float(f))
+            eps[k, sel] = interp_at_freq(mats[name]["perm"], float(f))
+    el = place_electrodes_equal_spacing(
+        info.node, info.element, cfg.n_electrodes,
+        starting_angle=np.pi * cfg.starting_angle_deg / 180.0,
+    )
+    proto = create_protocol(
+        cfg.n_electrodes, cfg.dist_exc, cfg.step_meas, cfg.parser_meas
+    )
+    n_nodes = info.node.shape[0]
+    nodes_j = jnp.asarray(info.node, jnp.float32)
+    tris_j = jnp.asarray(info.element, jnp.int32)
+
+    def one(s, e, f):
+        return forward_solve_admittance(
+            nodes_j, tris_j, s, e, f, jnp.asarray(el),
+            jnp.asarray(proto.ex_mat), jnp.asarray(proto.meas_mat), n_nodes,
+        )
+
+    v = jax.vmap(one)(
+        jnp.asarray(sig), jnp.asarray(eps), jnp.asarray(freqs, jnp.float32)
+    )
+    return np.asarray(v)
+
+
 @functools.partial(jax.jit, static_argnames=("n_nodes", "ref_node"))
 def forward_solve_admittance(
     nodes,

@@ -153,9 +153,12 @@ class YoloRunner:
             out = model.apply(variables, x, train=False)
             # compose at PROTO resolution (imgsz/4): the masks carry no
             # finer detail, and returning the coarse image cuts the
-            # device->host transfer 16x (host does the nearest upsample)
+            # device->host transfer 16x (host does the nearest upsample);
+            # boxes stay in input-pixel coords (input_hw), only the label
+            # image is coarse (out_hw)
             _, labels = postprocess_segment_labels(
-                out, (imgsz // 4, imgsz // 4), conf, iou, max_det
+                out, (imgsz, imgsz), conf, iou, max_det,
+                out_hw=(imgsz // 4, imgsz // 4),
             )
             return labels.astype(jnp.int8)
 

@@ -205,23 +205,31 @@ def postprocess_segment(
     return det, masks
 
 
-@functools.partial(jax.jit, static_argnames=("out_hw",))
+@functools.partial(jax.jit, static_argnames=("input_hw", "out_hw"))
 def compose_label_image(
-    proto: jnp.ndarray, det: Detections, out_hw: Tuple[int, int]
+    proto: jnp.ndarray,
+    det: Detections,
+    input_hw: Tuple[int, int],
+    out_hw: Tuple[int, int],
 ) -> jnp.ndarray:
     """Instance masks -> one (H, W) int32 label image, entirely on device.
 
     Avoids materializing max_det full-resolution masks on the host (the
     segmentation-throughput bottleneck): masks are composed at proto
     resolution in score order (highest score painted last, winning
-    overlaps), and only the final label image is upsampled. -1 background.
+    overlaps), and only the final label image is resized to ``out_hw``.
+    ``input_hw`` is the network-input resolution the boxes live in —
+    the box->proto crop scale must come from it, NOT from out_hw (scaling
+    by out_hw left input-pixel boxes off the proto grid whenever a
+    coarse output was requested, blanking every label). -1 background.
     """
     hp, wp, _ = proto.shape
+    in_h, in_w = input_hw
     h, w = out_hw
     m = jax.nn.sigmoid(
         jnp.einsum("kn,hwn->khw", det.coefs.astype(proto.dtype), proto)
     )
-    sx, sy = wp / w, hp / h
+    sx, sy = wp / in_w, hp / in_h
     bx = det.boxes * jnp.array([sx, sy, sx, sy], proto.dtype)
     xs = jnp.arange(wp, dtype=proto.dtype)[None, None, :]
     ys = jnp.arange(hp, dtype=proto.dtype)[None, :, None]
@@ -253,13 +261,20 @@ def postprocess_segment_labels(
     iou_thresh: float = 0.45,
     max_det: int = 64,
     reg_max: int = 16,
+    out_hw: Tuple[int, int] = None,
 ) -> Tuple[Detections, jnp.ndarray]:
-    """Batch detect + composed (B, H, W) label images (device-side)."""
+    """Batch detect + composed (B, H, W) label images (device-side).
+
+    ``input_hw`` is the network-input resolution (box coordinate frame);
+    ``out_hw`` the label-image resolution (defaults to input_hw; the
+    throughput path asks for proto resolution to cut d2h 16x).
+    """
     det = postprocess_detect(outputs, conf, iou_thresh, max_det, reg_max)
     proto = outputs["proto"]
+    out = out_hw or input_hw
 
     def one(p, d):
-        return compose_label_image(p, d, input_hw)
+        return compose_label_image(p, d, input_hw, out)
 
     labels = jax.vmap(one)(proto, det)
     return det, labels

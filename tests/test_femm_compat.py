@@ -262,3 +262,21 @@ def test_fec_save_and_roundtrip(tmp_path):
     assert len(doc["labels"]) == sum(
         len(i["coords"]) for i in bordersf.values()
     )
+
+
+def test_eit_spectroscopy_sweep():
+    """Multi-frequency sweep: finite complex voltages; conductivity
+    dispersion moves the real part with frequency and permittivity gives a
+    nonzero phase."""
+    from eitx.fem import simulate_eit_spectroscopy
+
+    nodes, tris, cls = disk_mesh_with_classes(40, 5)
+    mesh = {"NODES": nodes * 100.0, "TRIANGLES": tris, "CLASS": cls}
+    freqs = [1e4, 5e4, 2e5]
+    v = simulate_eit_spectroscopy(mesh, freqs)
+    assert v.shape[0] == 3 and v.shape[1] == 16
+    assert np.isfinite(v.real).all() and np.isfinite(v.imag).all()
+    # tissue dispersion: magnitude changes across the sweep
+    assert np.abs(np.abs(v[0]) - np.abs(v[2])).max() > 0
+    # capacitive phase present somewhere
+    assert np.abs(v.imag).max() > 0

@@ -369,3 +369,33 @@ def test_segment_labels_chunked_matches_single():
     parts = seg.segment_labels(imgs, chunk=4)    # 2 full chunks + pad tail
     assert whole.shape == (11, IMG, IMG)
     assert np.array_equal(whole, parts)
+
+
+def test_label_composition_coarse_matches_fullres():
+    """REGRESSION: composing the label image at proto resolution must
+    agree with full-resolution composition (boxes are in input pixels
+    regardless of the requested output size — a wrong crop scale blanks
+    every label, which round-2 hit with a trained checkpoint)."""
+    from eitx.models.yolo.post import postprocess_segment_labels
+
+    spec = yolov11_spec("n", nc=4, segment=True)
+    model = YoloV11(spec)
+    x = jax.random.uniform(jax.random.PRNGKey(2), (1, IMG, IMG, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x, train=False)
+    conf = 0.01  # random weights: take whatever fires
+    det, full = postprocess_segment_labels(
+        out, (IMG, IMG), conf, 0.45, 8
+    )
+    _, coarse = postprocess_segment_labels(
+        out, (IMG, IMG), conf, 0.45, 8, out_hw=(IMG // 4, IMG // 4)
+    )
+    assert bool(det.valid.any()), "need detections for this test"
+    full = np.asarray(full[0])
+    coarse = np.asarray(coarse[0])
+    # some foreground must survive (the bug blanked everything)
+    assert (full >= 0).any()
+    assert (coarse >= 0).any()
+    up = coarse.repeat(4, 0).repeat(4, 1)
+    agree = (up == full).mean()
+    assert agree > 0.98, agree
