@@ -11,7 +11,7 @@ from ..io.images import encode_png_base64
 
 def build_answer(
     grid_image: np.ndarray,
-    text_data: str = "",
+    text_data="",
     segmentation_time: float = 0.0,
     saved_file_name: Optional[str] = None,
     simulation_time: float = 0.0,

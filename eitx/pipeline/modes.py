@@ -179,7 +179,10 @@ class Pipeline:
         )
         return build_answer(
             grid,
-            text_data="",
+            # the reference returns the spacing-prefixed contour list as
+            # the answer's text block (ai_tools.py:228 passing
+            # segmentation_results_cnt into create_answer)
+            text_data=crd,
             segmentation_time=seg_time,
             saved_file_name=saved_file_name,
             simulation_time=sim_time,

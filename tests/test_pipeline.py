@@ -76,6 +76,13 @@ def _check_answer(ans, with_file=True):
     assert ans["status"] == "success"
     img = base64.b64decode(ans["image"])
     assert img[:8] == b"\x89PNG\r\n\x1a\n"
+    # text_data carries the spacing-prefixed contour list (reference
+    # create_answer's segmentation_results_cnt)
+    crd = ans["text_data"]
+    assert isinstance(crd, list) and len(crd) >= 3
+    float(crd[0]); float(crd[1])
+    assert all(line.split()[0].isdigit() for line in crd[2:])
+    json.dumps(ans)  # whole answer must be JSON-serializable
     assert ans["segmentation_time"] >= 0
     assert ans["simulation_time"] > 0
     if with_file:
