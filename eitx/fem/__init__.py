@@ -10,6 +10,7 @@ from .sheffield import (
     sheffield_monitoring,
     sheffield_solve_admittance,
 )
+from .inverse import DifferenceImager, reconstruct_monitoring
 from .forward import (
     compact_mesh_nodes,
     load_mesh_txt,
@@ -33,6 +34,8 @@ __all__ = [
     "SpectralEITSolver",
     "forward_solve_admittance",
     "simulate_eit_spectroscopy",
+    "DifferenceImager",
+    "reconstruct_monitoring",
     "electrode_averaging_matrix",
     "sheffield_ex_mat",
     "sheffield_monitoring",
