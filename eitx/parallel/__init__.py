@@ -3,6 +3,7 @@ from .shard import (
     shard_batch,
     shard_params_fsdp,
     sharded_eit_monitoring,
+    sharded_segment_labels,
 )
 
 __all__ = [
@@ -10,4 +11,5 @@ __all__ = [
     "shard_batch",
     "shard_params_fsdp",
     "sharded_eit_monitoring",
+    "sharded_segment_labels",
 ]

@@ -43,6 +43,47 @@ def shard_params_fsdp(params, mesh: Mesh, axis: str = "model", min_size: int = 2
     return jax.tree_util.tree_map(place, params)
 
 
+def sharded_segment_labels(
+    runner,
+    images: np.ndarray,
+    mesh: Optional[Mesh] = None,
+) -> np.ndarray:
+    """Data-parallel tissue segmentation across chips.
+
+    The slice axis shards over ``data`` (SURVEY section 2.3: the reference's
+    per-image Python loop becomes DP inference over ICI); weights
+    replicate; the composed proto-res label images gather on output, then
+    the host un-letterboxes/upsamples exactly like the single-chip path.
+    """
+    from .mesh import make_device_mesh
+
+    if mesh is None:
+        mesh = make_device_mesh(("data",))
+    ndata = mesh.shape["data"]
+    arr = np.asarray(images)
+    if arr.dtype != np.uint8:
+        arr = np.clip(arr, 0, 255).astype(np.uint8)
+    rgb = arr.ndim == 4
+    b = arr.shape[0]
+    h, w = arr.shape[1], arr.shape[2]
+    pad = (-b) % ndata
+    if pad:
+        arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
+    key = (h, w, rgb)
+    if runner._segment_labels_fn is None or runner._segment_labels_key != key:
+        runner._segment_labels_fn = runner._build_segment_labels((h, w), rgb)
+        runner._segment_labels_key = key
+    runner.variables = jax.device_put(
+        runner.variables, NamedSharding(mesh, P())
+    )
+    x = jax.device_put(
+        jnp.asarray(arr),
+        NamedSharding(mesh, P("data", *([None] * (arr.ndim - 1)))),
+    )
+    coarse = np.asarray(runner._segment_labels_fn(x))[:b]
+    return runner._upsample_labels(coarse, h, w).astype(np.int32)
+
+
 def sharded_eit_monitoring(
     cs,
     sigma: np.ndarray,

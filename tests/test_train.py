@@ -145,3 +145,20 @@ def test_assigner_tal_prefers_high_align():
         topk=2, alpha=1.0, beta=6.0,
     )
     assert not (np.asarray(assigned2) == 1).any()
+
+
+def test_sharded_segment_labels_matches_single():
+    """DP segmentation over the 8-device CPU mesh equals the single-device
+    path, including batch padding to the mesh size."""
+    from eitx.models.yolo.infer import TissueSegmenter
+    from eitx.parallel import make_device_mesh
+    from eitx.parallel.shard import sharded_segment_labels
+
+    seg = TissueSegmenter(imgsz=64, variant="n", max_det=8, seed=2)
+    rng = np.random.default_rng(4)
+    imgs = rng.integers(0, 255, (6, 64, 64), dtype=np.uint8)  # 6 % 8 != 0
+    single = seg.segment_labels(imgs)
+    mesh = make_device_mesh(("data",))
+    sharded = sharded_segment_labels(seg, imgs, mesh)
+    assert sharded.shape == single.shape
+    assert np.array_equal(sharded, single)
