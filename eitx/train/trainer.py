@@ -348,7 +348,12 @@ class Trainer:
         metrics = self._eval_fn(self.state.params, self.state.batch_stats, b)
         return {k: float(v) for k, v in metrics.items()}
 
-    def train_step(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:
+    def train_step(
+        self, batch: Dict[str, np.ndarray], device_metrics: bool = False
+    ) -> Dict:
+        """One optimizer step. With ``device_metrics`` the metric dict
+        holds device arrays (no host readback — each float() is an RPC on
+        relay-attached chips); the loop converts only when logging."""
         b = {k: jnp.asarray(v) for k, v in batch.items()}
         b["valid"] = b["valid"].astype(jnp.float32)
         if self.mesh is not None:
@@ -359,6 +364,8 @@ class Trainer:
             self.state.params, self.state.batch_stats, self.state.opt_state, b
         )
         self.state = TrainState(params, stats, opt_state, self.state.step + 1)
+        if device_metrics:
+            return metrics
         return {k: float(v) for k, v in metrics.items()}
 
 
@@ -381,12 +388,18 @@ class EMA:
     def update(self, params):
         self.step += 1
         d = self.decay * (1.0 - float(np.exp(-self.step / self.tau)))
-        self.params = jax.tree_util.tree_map(
-            lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
-            self.params,
-            params,
-        )
+        # ONE compiled program per update: a python tree_map would dispatch
+        # ~200 tiny ops per step, which dominates step time on
+        # relay-attached chips where each dispatch is an RPC
+        self.params = _ema_update(self.params, params, jnp.float32(d))
         return self.params
+
+
+@jax.jit
+def _ema_update(ema, params, d):
+    return jax.tree_util.tree_map(
+        lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d), ema, params
+    )
 
 
 def fit(
@@ -411,9 +424,10 @@ def fit(
     metrics = {}
     for step in range(steps):
         batch = next(data_iter)
-        metrics = trainer.train_step(batch)
+        metrics = trainer.train_step(batch, device_metrics=True)
         ema.update(trainer.state.params)
         if log_every and step % log_every == 0:
+            metrics = {k: float(v) for k, v in metrics.items()}
             log.info("step %d: %s", step,
                      {k: round(v, 4) for k, v in metrics.items()})
         if val_batch is not None and (step + 1) % val_every == 0:
@@ -429,4 +443,5 @@ def fit(
         from .checkpoint import save_checkpoint
 
         save_checkpoint(checkpoint_path, trainer.state)
+    metrics = {k: float(v) for k, v in metrics.items()}
     return metrics, ema.params
