@@ -90,6 +90,9 @@ class ModelConfig:
     n_classes: int = 4
     max_detections: int = 64  # static NMS budget
     dtype: str = "bfloat16"
+    # YOLOv11 size variant ('n'/'s'/...). The reference ships 's'
+    # checkpoints; the in-repo phantom-trained checkpoints are 'n'.
+    variant: str = "s"
 
 
 @dataclass(frozen=True)

@@ -59,11 +59,12 @@ class Pipeline:
         self.config = config
         m = config.model
         self.ribs = RibsDetector(
-            weights=m.ribs_weights, conf=m.ribs_conf,
+            weights=m.ribs_weights, conf=m.ribs_conf, variant=m.variant,
             max_det=m.max_detections, dtype=m.dtype, **model_kw,
         )
         self.seg_512 = TissueSegmenter(
             512, weights=m.axial_weights_512, conf=m.axial_conf,
+            variant=m.variant,
             max_det=m.max_detections, dtype=m.dtype, **model_kw,
         )
         self._seg_256: Optional[TissueSegmenter] = None
@@ -77,6 +78,7 @@ class Pipeline:
                     256,
                     weights=self.config.model.axial_weights_256,
                     conf=self.config.model.axial_conf,
+                    variant=self.config.model.variant,
                     max_det=self.config.model.max_detections,
                     dtype=self.config.model.dtype,
                     **self._model_kw,

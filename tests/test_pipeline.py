@@ -187,3 +187,30 @@ def test_body_polygon_prefers_max_area(pipeline):
     pts = np.array(line.split()[1:], float).reshape(-1, 2)
     cx, cy = pts.mean(axis=0)
     assert abs(cx - 48) < 8 and abs(cy - 64) < 8, (cx, cy)
+
+
+def test_jpg_png_mode_with_trained_checkpoint(tmp_path):
+    """Full real-model e2e when the in-repo trained checkpoint exists:
+    phantom axial slice -> trained segmenter -> mesh -> EIT dataset."""
+    import os
+
+    ckpt = os.path.join("weights", "tissue_n_256.msgpack")
+    if not os.path.exists(ckpt):
+        pytest.skip("no trained checkpoint in weights/")
+    from eitx.core.config import ModelConfig
+    from eitx.train.phantoms import phantom_batch
+
+    cfg = PipelineConfig(
+        model=ModelConfig(axial_weights_256=ckpt, variant="n"),
+        sim=SimulationConfig(n_points=3),
+        results_dir=str(tmp_path),
+    )
+    pipe = Pipeline(cfg)
+    b = phantom_batch(1, 256, 12, np.random.default_rng(42))
+    img = (b["images"][0, ..., 0] * 255).astype(np.uint8)
+    ans = pipe.run_jpg_png(img)
+    assert ans["status"] == "success"
+    crd = ans["text_data"]
+    classes_present = {line.split()[0] for line in crd[2:]}
+    # trained model must produce multiple tissue classes on a phantom
+    assert len(classes_present) >= 2, classes_present
