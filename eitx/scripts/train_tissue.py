@@ -31,16 +31,38 @@ def pregenerate(n: int, imgsz: int, max_instances: int, seed: int):
     return phantom_batch(n, imgsz, max_instances, rng, return_labels=True)
 
 
-def batches_from(data, batch, seed=0):
-    """Shuffle-cycle minibatches from a pregenerated sample store."""
+def _flip_batch(b, imgsz: int, axis: int):
+    """Horizontal (axis=2) / vertical (axis=1) flip of a target batch."""
+    out = dict(b)
+    out["images"] = np.flip(b["images"], axis=axis)
+    out["masks"] = np.flip(b["masks"], axis=axis + 1)
+    boxes = b["boxes"].copy()
+    lo, hi = (0, 2) if axis == 2 else (1, 3)
+    boxes[..., lo], boxes[..., hi] = (
+        imgsz - b["boxes"][..., hi], imgsz - b["boxes"][..., lo],
+    )
+    out["boxes"] = np.where(b["valid"][..., None], boxes, 0.0)
+    return out
+
+
+def batches_from(data, batch, seed=0, augment=True):
+    """Shuffle-cycle minibatches from a pregenerated sample store,
+    with random flip augmentation (4x effective variety)."""
     n = data["images"].shape[0]
+    imgsz = data["images"].shape[1]
     rng = np.random.default_rng(seed)
     keys = ["images", "boxes", "classes", "masks", "valid"]
     while True:
         order = rng.permutation(n)
         for k0 in range(0, n - batch + 1, batch):
             idx = order[k0 : k0 + batch]
-            yield {k: data[k][idx] for k in keys}
+            b = {k: data[k][idx] for k in keys}
+            if augment:
+                if rng.random() < 0.5:
+                    b = _flip_batch(b, imgsz, axis=2)
+                if rng.random() < 0.25:
+                    b = _flip_batch(b, imgsz, axis=1)
+            yield b
 
 
 def evaluate_checkpoint(

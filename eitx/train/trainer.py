@@ -286,16 +286,33 @@ class Trainer:
                     bl.shape[0], 4, reg_max), tdist, reg_max) * pos
             ).sum() / n_pos
 
-            # masks: for each instance, average coef of its positive
-            # anchors -> BCE against the instance mask
-            inst_ids = jnp.arange(boxes.shape[0])
-            sel = (assigned[None, :] == inst_ids[:, None]) & pos[None, :]
-            cnt = jnp.maximum(sel.sum(1, keepdims=True), 1)
-            inst_coef = (sel[..., None] * co[None]).sum(1) / cnt  # (I, nm)
-            pred_m = jnp.einsum("in,hwn->ihw", inst_coef, pr)
-            l_mask = (
-                optax_sigmoid_bce(pred_m, masks).mean((1, 2)) * valid
-            ).sum() / jnp.maximum(valid.sum(), 1)
+            # masks: per-anchor supervision (ultralytics v8SegmentationLoss
+            # semantics): EVERY positive anchor's own coefficients must
+            # reproduce its target's mask, BCE cropped to the target box and
+            # normalized by box area. Inference composes a mask from one kept
+            # anchor's coefs, so supervising a mean coef per instance trains
+            # a quantity never used at test time (and without the box crop,
+            # the all-background prior keeps mask logits below threshold).
+            if cfg.segment:
+                pm = jnp.einsum("an,hwn->ahw", co, pr)  # (A, hp, wp)
+                tm = masks[tgt]  # (A, hp, wp)
+                ds = cfg.imgsz / pr.shape[0]  # proto downsample factor
+                bxp = tboxes / ds  # boxes in proto coords
+                xs_g = jnp.arange(pr.shape[1], dtype=pm.dtype)[None, None, :] + 0.5
+                ys_g = jnp.arange(pr.shape[0], dtype=pm.dtype)[None, :, None] + 0.5
+                inside = (
+                    (xs_g >= bxp[:, 0][:, None, None])
+                    & (xs_g < bxp[:, 2][:, None, None])
+                    & (ys_g >= bxp[:, 1][:, None, None])
+                    & (ys_g < bxp[:, 3][:, None, None])
+                )
+                bce = optax_sigmoid_bce(pm, tm) * inside
+                barea = jnp.clip(
+                    (bxp[:, 2] - bxp[:, 0]) * (bxp[:, 3] - bxp[:, 1]), 1.0
+                )
+                l_mask = ((bce.sum((1, 2)) / barea) * pos).sum() / n_pos
+            else:
+                l_mask = jnp.float32(0.0)
             return l_cls, l_box, l_dfl, l_mask
 
         l_cls, l_box, l_dfl, l_mask = jax.vmap(per_image)(
