@@ -129,10 +129,16 @@ class SimulationConfig:
     # for each fresh shape on remote-compile TPU setups).
     pad_nodes_to: int = 1024
     pad_elems_to: int = 8192
-    # Solver: 'spectral' factors the lung-conductivity pencil once and
-    # solves every breathing frame in O(N*E); 'cholesky' batch-factorizes
-    # per frame; 'cg' is the matrix-free fallback for very large meshes.
+    # Solver: 'spectral' factors the lung-conductivity pencil once on the
+    # LUNG SUBSPACE (low-rank Woodbury; setup = Cholesky + two rank-bucket
+    # eighs) and solves every breathing frame in O(E*n_exc*r);
+    # 'spectral_full' diagonalizes the full N-pencil (one O(N^3) eigh);
+    # 'cholesky' batch-factorizes per frame; 'cg' is the matrix-free
+    # fallback for very large meshes.
     solver: str = "spectral"
+    # Lung-subspace size bucket for the low-rank spectral setup (static
+    # shapes: lung-node counts round up to this multiple).
+    spectral_rank_bucket: int = 256
     # Electrode model: 'point' (pyeit parity) or 'cem' (complete electrode
     # model with contact impedance and finite electrode coverage).
     electrode_model: str = "point"

@@ -2,7 +2,7 @@ from .assembly import ClassStiffness, assemble_stiffness, element_geometry
 from .electrodes import boundary_loop, place_electrodes_equal_spacing
 from .protocol import Protocol, abs_to_diff, create_protocol
 from .solver import forward_solve, forward_solve_batched, forward_solve_cg
-from .spectral import SpectralEITSolver
+from .spectral import LowRankSpectralSolver, SpectralEITSolver
 from .admittance import forward_solve_admittance, simulate_eit_spectroscopy
 from .sheffield import (
     electrode_averaging_matrix,
@@ -32,6 +32,7 @@ __all__ = [
     "forward_solve_batched",
     "forward_solve_cg",
     "SpectralEITSolver",
+    "LowRankSpectralSolver",
     "forward_solve_admittance",
     "simulate_eit_spectroscopy",
     "DifferenceImager",

@@ -167,7 +167,7 @@ def simulate_eit_monitoring_subjects(
     Returns a list of (voltages (T, n_exc*n_meas), per_subject_seconds).
     """
     import math as _math
-    from .spectral import SpectralEITSolver
+    from .spectral import LowRankSpectralSolver, SpectralEITSolver
 
     t_start = time.time()
     materials = get_materials(materials_location)
@@ -208,11 +208,19 @@ def simulate_eit_monitoring_subjects(
         groups.setdefault(tuple(cs.k_class.shape), []).append(i)
     results = [None] * len(css)
     for idxs in groups.values():
-        solvers = SpectralEITSolver.build_batch(
-            [css[i] for i in idxs], sigma[0], lung_col,
-            [els[i] for i in idxs], proto.ex_mat, proto.meas_mat,
-            [alpha0] * len(idxs),
-        )
+        if cfg.solver == "spectral_full":
+            solvers = SpectralEITSolver.build_batch(
+                [css[i] for i in idxs], sigma[0], lung_col,
+                [els[i] for i in idxs], proto.ex_mat, proto.meas_mat,
+                [alpha0] * len(idxs),
+            )
+        else:
+            solvers = LowRankSpectralSolver.build_batch(
+                [css[i] for i in idxs], sigma[0], lung_col,
+                [els[i] for i in idxs], proto.ex_mat, proto.meas_mat,
+                [alpha0] * len(idxs),
+                rank_bucket=cfg.spectral_rank_bucket,
+            )
         for i, solver in zip(idxs, solvers):
             results[i] = np.asarray(solver.solve(alphas)).reshape(
                 cfg.n_points, -1
@@ -305,12 +313,20 @@ def simulate_eit_monitoring(
         pad_nodes_to=cfg.pad_nodes_to,
         pad_elems_to=cfg.pad_elems_to,
     )
-    if cfg.solver == "spectral":
-        from .spectral import SpectralEITSolver
+    if cfg.solver in ("spectral", "spectral_full"):
+        from .spectral import LowRankSpectralSolver, SpectralEITSolver
 
         lung_col = classes.name_to_id()["lung"]
         alphas = sigma[:, lung_col]
-        solver = SpectralEITSolver.build(
+        builder = (
+            SpectralEITSolver if cfg.solver == "spectral_full"
+            else LowRankSpectralSolver
+        )
+        kw = (
+            {} if cfg.solver == "spectral_full"
+            else {"rank_bucket": cfg.spectral_rank_bucket}
+        )
+        solver = builder.build(
             cs,
             sigma[0],
             lung_class=lung_col,
@@ -318,6 +334,7 @@ def simulate_eit_monitoring(
             ex_mat=proto.ex_mat,
             meas_mat=proto.meas_mat,
             alpha0=float(alphas.mean()),
+            **kw,
         )
         v = solver.solve(alphas)
     elif cfg.solver == "cg":

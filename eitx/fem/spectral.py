@@ -213,10 +213,233 @@ def _spectral_setup_general(
 def _spectral_solve(lam, y0, z, alphas, alpha0, meas_mat):
     with jax.default_matmul_precision("highest"):
         denom = 1.0 + (alphas[:, None] - alpha0) * lam[None, :]  # (T, N)
-        w = y0[None] / denom[:, :, None]  # (T, N, n_exc)
+        # u_el[t,e,x] = sum_n z[e,n] y0[n,x] / denom[t,n]: contracting the
+        # frame-independent G[e,x,n] = z*y0 against (T, N) reciprocals keeps
+        # the whole solve one MXU matmul and never materializes the
+        # (T, N, n_exc) tensor (HBM traffic was the old per-frame cost).
+        G = jnp.einsum(
+            "en,nx->exn", z, y0, precision=jax.lax.Precision.HIGHEST
+        )
         u_el = jnp.einsum(
-            "en,tnx->tex", z, w, precision=jax.lax.Precision.HIGHEST
-        )  # (T, E, n_exc)
+            "exn,tn->tex", G, 1.0 / denom,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+        def meas_one(u):
+            return _measure(u, meas_mat)
+
+        return jax.vmap(meas_one)(u_el)
+
+
+# ---------------------------------------------------------------------------
+# Low-rank (lung-subspace) spectral solver
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class LowRankSpectralSolver:
+    """Monitoring solver factoring the pencil on the LUNG SUBSPACE only.
+
+    Breathing perturbs K on lung-element nodes alone, so K_lung = S Kl_s S^T
+    with S selecting the m lung nodes (m << N). Factor Kl_s = R R^T (small
+    eigh), set U = L^-1 S R, thin-diagonalize U^T U = V diag(s2) V^T, and by
+    Woodbury
+
+        K(a)^-1 = L^-T (I - Q diag(f(a)) Q^T) L^-1,
+        Q = U V diag(s2)^-1/2,   f(a) = (a-a0) s2 / (1 + (a-a0) s2),
+
+    so setup needs one Cholesky + two eighs of size r (the padded lung-node
+    bucket) instead of one eigh of size N — the O(N^3) eigh was the whole
+    per-subject setup cost of :class:`SpectralEITSolver`. A frame costs one
+    (E*n_exc, r) matmul against f(a).
+    """
+
+    s2: jnp.ndarray  # (r,) squared singular values of U (0 in dead slots)
+    u0: jnp.ndarray  # (E, n_exc) baseline electrode potentials at alpha0
+    yq: jnp.ndarray  # (r, n_exc)
+    zq: jnp.ndarray  # (E, r)
+    alpha0: float
+    meas_mat: jnp.ndarray
+
+    @classmethod
+    def build(
+        cls,
+        cs: ClassStiffness,
+        sigma_base: np.ndarray,
+        lung_class: int,
+        el_pos,
+        ex_mat,
+        meas_mat,
+        alpha0: float,
+        rank_bucket: int = 256,
+    ) -> "LowRankSpectralSolver":
+        idx, mask = _lung_subspace_indices(cs, lung_class, rank_bucket)
+        s2, u0, yq, zq = _lowrank_setup(
+            cs.k_class,
+            cs.diag_fix,
+            cs.ref_node,
+            jnp.asarray(sigma_base, cs.k_class.dtype),
+            lung_class,
+            jnp.asarray(idx),
+            jnp.asarray(mask, cs.k_class.dtype),
+            jnp.asarray(el_pos),
+            jnp.asarray(ex_mat),
+            jnp.float32(alpha0).astype(cs.k_class.dtype),
+        )
+        return cls(
+            s2=s2, u0=u0, yq=yq, zq=zq, alpha0=float(alpha0),
+            meas_mat=jnp.asarray(meas_mat),
+        )
+
+    @classmethod
+    def build_batch(
+        cls,
+        cs_list,
+        sigma_base: np.ndarray,
+        lung_class: int,
+        el_pos_list,
+        ex_mat,
+        meas_mat,
+        alpha0s,
+        rank_bucket: int = 256,
+    ):
+        """Factor many same-bucket subjects' lung pencils in one vmapped
+        program (the batch analogue of :meth:`SpectralEITSolver.build_batch`,
+        with the O(N^3) eigh shrunk to the shared lung-rank bucket)."""
+        ref_nodes = {cs.ref_node for cs in cs_list}
+        if len(ref_nodes) != 1:
+            raise ValueError("batched subjects must share ref_node")
+        pairs = [
+            _lung_subspace_indices(cs, lung_class, rank_bucket)
+            for cs in cs_list
+        ]
+        r = max(p[0].shape[0] for p in pairs)
+        idxs = np.stack([np.pad(p[0], (0, r - p[0].shape[0])) for p in pairs])
+        masks = np.stack(
+            [np.pad(p[1], (0, r - p[1].shape[0])) for p in pairs]
+        )
+        dtype = cs_list[0].k_class.dtype
+        k_stack = jnp.stack([cs.k_class for cs in cs_list])
+        d_stack = jnp.stack([cs.diag_fix for cs in cs_list])
+        el_stack = jnp.asarray(np.stack([np.asarray(e) for e in el_pos_list]))
+        a0 = jnp.asarray(np.asarray(alpha0s), dtype)
+        sig = jnp.asarray(sigma_base, dtype)
+        ref = ref_nodes.pop()
+
+        s2, u0, yq, zq = _lowrank_setup_batch(
+            k_stack, d_stack, ref, sig, lung_class,
+            jnp.asarray(idxs), jnp.asarray(masks, dtype),
+            el_stack, jnp.asarray(ex_mat), a0,
+        )
+        meas = jnp.asarray(meas_mat)
+        return [
+            cls(s2=s2[b], u0=u0[b], yq=yq[b], zq=zq[b],
+                alpha0=float(alpha0s[b]), meas_mat=meas)
+            for b in range(len(cs_list))
+        ]
+
+    def solve(self, lung_alphas) -> jnp.ndarray:
+        """(T,) lung conductivities -> (T, n_exc, n_meas) voltages."""
+        return _lowrank_solve(
+            self.s2, self.u0, self.yq, self.zq,
+            jnp.asarray(lung_alphas, self.s2.dtype),
+            jnp.asarray(self.alpha0, self.s2.dtype),
+            self.meas_mat,
+        )
+
+
+def _lung_subspace_indices(
+    cs: ClassStiffness, lung_class: int, rank_bucket: int
+):
+    """Host-side lung-node index extraction, padded to the rank bucket.
+
+    The grounded per-class stiffness is PSD, so a node touches a lung
+    element iff its k_class[lung] diagonal entry is positive — only the
+    (N,) diagonal crosses device->host. Padding slots point at node 0 with
+    a zero mask (their scattered contributions vanish).
+    """
+    diag = np.asarray(jnp.diagonal(cs.k_class[lung_class]))
+    lung_nodes = np.flatnonzero(diag > 0)
+    m = lung_nodes.shape[0]
+    r = max(_round_up_int(m, rank_bucket), rank_bucket)
+    r = min(r, cs.n_nodes)
+    if m > r:  # lung covers (almost) the whole mesh: keep full size
+        r = cs.n_nodes
+    idx = np.zeros((r,), np.int32)
+    idx[: min(m, r)] = lung_nodes[: min(m, r)]
+    mask = np.zeros((r,), np.float64)
+    mask[: min(m, r)] = 1.0
+    return idx, mask
+
+
+def _round_up_int(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("lung_class", "ref_node"))
+def _lowrank_setup(
+    k_class, diag_fix, ref_node, sigma_base, lung_class, idx, mask,
+    el_pos, ex_mat, alpha0,
+):
+    with jax.default_matmul_precision("highest"):
+        n = k_class.shape[-1]
+        r = idx.shape[0]
+        sig = sigma_base.at[lung_class].set(alpha0)
+        K_base = jnp.tensordot(
+            sig, k_class, axes=([0], [0]),
+            precision=jax.lax.Precision.HIGHEST,
+        ) + jnp.diag(diag_fix)
+        Kl = k_class[lung_class]
+        # lung-subspace block, padded slots masked out
+        Kl_s = Kl[idx][:, idx] * (mask[:, None] * mask[None, :])
+        lamS, Vs = jnp.linalg.eigh(Kl_s)  # r x r
+        R = Vs * jnp.sqrt(jnp.clip(lamS, 0.0))[None, :]  # Kl_s = R R^T
+        SR = jnp.zeros((n, r), k_class.dtype).at[idx].add(R * mask[:, None])
+        L = jnp.linalg.cholesky(K_base)
+        U = jax.scipy.linalg.solve_triangular(L, SR, lower=True)  # (N, r)
+        M = U.T @ U
+        M = 0.5 * (M + M.T)
+        s2, Vu = jnp.linalg.eigh(M)  # r x r
+        eps = jnp.maximum(s2.max(), 0.0) * 1e-7
+        live = s2 > eps
+        qs = jnp.where(live, jax.lax.rsqrt(jnp.maximum(s2, eps)), 0.0)
+        Q = U @ (Vu * qs[None, :])  # (N, r) orthonormal live columns
+        s2 = jnp.where(live, s2, 0.0)
+        Brhs = _rhs_matrix(el_pos, ex_mat, n, k_class.dtype)
+        Brhs = Brhs.at[ref_node, :].set(0.0)
+        C0 = jax.scipy.linalg.solve_triangular(L, Brhs, lower=True)
+        u0 = jax.scipy.linalg.solve_triangular(L.T, C0, lower=False)[el_pos]
+        yq = Q.T @ C0  # (r, n_exc)
+        zq = jax.scipy.linalg.solve_triangular(L.T, Q, lower=False)[el_pos]
+        return s2, u0, yq, zq
+
+
+@functools.partial(jax.jit, static_argnames=("lung_class", "ref_node"))
+def _lowrank_setup_batch(
+    k_stack, d_stack, ref_node, sigma_base, lung_class, idxs, masks,
+    el_stack, ex_mat, a0s,
+):
+    def one(k_class, diag_fix, idx, mask, el_pos, alpha0):
+        return _lowrank_setup(
+            k_class, diag_fix, ref_node, sigma_base, lung_class,
+            idx, mask, el_pos, ex_mat, alpha0,
+        )
+
+    return jax.vmap(one)(k_stack, d_stack, idxs, masks, el_stack, a0s)
+
+
+@jax.jit
+def _lowrank_solve(s2, u0, yq, zq, alphas, alpha0, meas_mat):
+    with jax.default_matmul_precision("highest"):
+        c = alphas - alpha0  # (T,)
+        cs2 = c[:, None] * s2[None, :]
+        f = cs2 / (1.0 + cs2)  # (T, r)
+        G = jnp.einsum(
+            "er,rx->exr", zq, yq, precision=jax.lax.Precision.HIGHEST
+        )
+        u_el = u0[None] - jnp.einsum(
+            "exr,tr->tex", G, f, precision=jax.lax.Precision.HIGHEST
+        )
 
         def meas_one(u):
             return _measure(u, meas_mat)
