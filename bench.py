@@ -51,7 +51,7 @@ def bench_eit(mesh, frames=1200, repeats=3):
     from eitx.fem.electrodes import place_electrodes_equal_spacing
     from eitx.fem.forward import build_sigma_frames, compact_mesh_nodes, prepare_mesh_info
     from eitx.fem.protocol import create_protocol
-    from eitx.fem.spectral import SpectralEITSolver
+    from eitx.fem.spectral import LowRankSpectralSolver
     from eitx.physio.materials import generate_material_tables, tissue_conductivities
     from eitx.physio.spirometry import conductivity_schedule
 
@@ -75,7 +75,7 @@ def bench_eit(mesh, frames=1200, repeats=3):
     alphas = jnp.asarray(sigma[:, classes.name_to_id()["lung"]], jnp.float32)
 
     def full_job():
-        solver = SpectralEITSolver.build(
+        solver = LowRankSpectralSolver.build(
             cs, sigma[0], classes.name_to_id()["lung"], el,
             proto.ex_mat, proto.meas_mat, float(np.mean(sigma[:, 2])),
         )
@@ -95,7 +95,7 @@ def bench_eit(mesh, frames=1200, repeats=3):
     # marginal solve-only rate: once a subject's pencil is factored, how
     # fast do additional breathing frames come? (long monitorings /
     # N_minutes >> 1 amortize here)
-    solver = SpectralEITSolver.build(
+    solver = LowRankSpectralSolver.build(
         cs, sigma[0], classes.name_to_id()["lung"], el,
         proto.ex_mat, proto.meas_mat, float(np.mean(sigma[:, 2])),
     )

@@ -224,9 +224,12 @@ def spectral_cem_solver(
     alpha0: float,
     current: float = 1.0,
 ):
-    """Spectral pencil factorization of the CEM system: per-frame cost
-    drops to the same O(D * n_exc) as the point-electrode path."""
-    from .spectral import SpectralEITSolver
+    """Spectral pencil factorization of the CEM system. The lung block
+    keeps its small node support inside the augmented matrix, so the
+    low-rank (lung-subspace) Woodbury setup applies unchanged — one
+    Cholesky of the augmented system plus two rank-bucket eighs instead
+    of an O(D^3) full-pencil eigh."""
+    from .spectral import LowRankSpectralSolver
 
     dim = system.dim
     n = system.n_nodes
@@ -237,7 +240,7 @@ def spectral_cem_solver(
         rhs[n + b, i] = -current
     rhs[dim - 1, :] = 0.0  # grounded electrode row
     readout = np.arange(n, dim, dtype=np.int32)
-    return SpectralEITSolver.build_general(
+    return LowRankSpectralSolver.build_general(
         system.k_class,
         system.fixed,
         sigma_base,

@@ -292,6 +292,40 @@ class LowRankSpectralSolver:
         )
 
     @classmethod
+    def build_general(
+        cls,
+        k_class: jnp.ndarray,  # (C, D, D) pencil matrices
+        fixed: jnp.ndarray,  # (D, D) conductivity-independent part
+        sigma_base: np.ndarray,
+        lung_class: int,
+        rhs: jnp.ndarray,  # (D, n_exc) injection block (pre-grounded)
+        readout_rows,  # (E,) rows whose potentials are measured
+        meas_mat,
+        alpha0: float,
+        rank_bucket: int = 256,
+    ) -> "LowRankSpectralSolver":
+        """Low-rank factorization for any SPD pencil K(a) = K_base + dK*a
+        whose varying part has small support — the CEM's augmented system
+        keeps the lung-block structure (electrode rows live in ``fixed``)."""
+        diag = np.asarray(jnp.diagonal(k_class[lung_class]))
+        idx, mask = _indices_from_diag(diag, k_class.shape[-1], rank_bucket)
+        s2, u0, yq, zq = _lowrank_setup_general(
+            k_class,
+            fixed,
+            jnp.asarray(sigma_base, k_class.dtype),
+            lung_class,
+            jnp.asarray(idx),
+            jnp.asarray(mask, k_class.dtype),
+            jnp.asarray(rhs, k_class.dtype),
+            jnp.asarray(readout_rows),
+            jnp.asarray(alpha0, k_class.dtype),
+        )
+        return cls(
+            s2=s2, u0=u0, yq=yq, zq=zq, alpha0=float(alpha0),
+            meas_mat=jnp.asarray(meas_mat),
+        )
+
+    @classmethod
     def build_batch(
         cls,
         cs_list,
@@ -359,12 +393,16 @@ def _lung_subspace_indices(
     a zero mask (their scattered contributions vanish).
     """
     diag = np.asarray(jnp.diagonal(cs.k_class[lung_class]))
+    return _indices_from_diag(diag, cs.n_nodes, rank_bucket)
+
+
+def _indices_from_diag(diag: np.ndarray, n: int, rank_bucket: int):
     lung_nodes = np.flatnonzero(diag > 0)
     m = lung_nodes.shape[0]
     r = max(_round_up_int(m, rank_bucket), rank_bucket)
-    r = min(r, cs.n_nodes)
+    r = min(r, n)
     if m > r:  # lung covers (almost) the whole mesh: keep full size
-        r = cs.n_nodes
+        r = n
     idx = np.zeros((r,), np.int32)
     idx[: min(m, r)] = lung_nodes[: min(m, r)]
     mask = np.zeros((r,), np.float64)
@@ -376,6 +414,33 @@ def _round_up_int(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _lowrank_core(K_base, Kl, idx, mask, Brhs, readout_rows):
+    """Shared Woodbury factorization given assembled K_base and the lung
+    pencil block. Returns (s2, u0, yq, zq)."""
+    n = K_base.shape[-1]
+    r = idx.shape[0]
+    # lung-subspace block, padded slots masked out
+    Kl_s = Kl[idx][:, idx] * (mask[:, None] * mask[None, :])
+    lamS, Vs = jnp.linalg.eigh(Kl_s)  # r x r
+    R = Vs * jnp.sqrt(jnp.clip(lamS, 0.0))[None, :]  # Kl_s = R R^T
+    SR = jnp.zeros((n, r), K_base.dtype).at[idx].add(R * mask[:, None])
+    L = jnp.linalg.cholesky(K_base)
+    U = jax.scipy.linalg.solve_triangular(L, SR, lower=True)  # (N, r)
+    M = U.T @ U
+    M = 0.5 * (M + M.T)
+    s2, Vu = jnp.linalg.eigh(M)  # r x r
+    eps = jnp.maximum(s2.max(), 0.0) * 1e-7
+    live = s2 > eps
+    qs = jnp.where(live, jax.lax.rsqrt(jnp.maximum(s2, eps)), 0.0)
+    Q = U @ (Vu * qs[None, :])  # (N, r) orthonormal live columns
+    s2 = jnp.where(live, s2, 0.0)
+    C0 = jax.scipy.linalg.solve_triangular(L, Brhs, lower=True)
+    u0 = jax.scipy.linalg.solve_triangular(L.T, C0, lower=False)[readout_rows]
+    yq = Q.T @ C0  # (r, n_exc)
+    zq = jax.scipy.linalg.solve_triangular(L.T, Q, lower=False)[readout_rows]
+    return s2, u0, yq, zq
+
+
 @functools.partial(jax.jit, static_argnames=("lung_class", "ref_node"))
 def _lowrank_setup(
     k_class, diag_fix, ref_node, sigma_base, lung_class, idx, mask,
@@ -383,35 +448,30 @@ def _lowrank_setup(
 ):
     with jax.default_matmul_precision("highest"):
         n = k_class.shape[-1]
-        r = idx.shape[0]
         sig = sigma_base.at[lung_class].set(alpha0)
         K_base = jnp.tensordot(
             sig, k_class, axes=([0], [0]),
             precision=jax.lax.Precision.HIGHEST,
         ) + jnp.diag(diag_fix)
-        Kl = k_class[lung_class]
-        # lung-subspace block, padded slots masked out
-        Kl_s = Kl[idx][:, idx] * (mask[:, None] * mask[None, :])
-        lamS, Vs = jnp.linalg.eigh(Kl_s)  # r x r
-        R = Vs * jnp.sqrt(jnp.clip(lamS, 0.0))[None, :]  # Kl_s = R R^T
-        SR = jnp.zeros((n, r), k_class.dtype).at[idx].add(R * mask[:, None])
-        L = jnp.linalg.cholesky(K_base)
-        U = jax.scipy.linalg.solve_triangular(L, SR, lower=True)  # (N, r)
-        M = U.T @ U
-        M = 0.5 * (M + M.T)
-        s2, Vu = jnp.linalg.eigh(M)  # r x r
-        eps = jnp.maximum(s2.max(), 0.0) * 1e-7
-        live = s2 > eps
-        qs = jnp.where(live, jax.lax.rsqrt(jnp.maximum(s2, eps)), 0.0)
-        Q = U @ (Vu * qs[None, :])  # (N, r) orthonormal live columns
-        s2 = jnp.where(live, s2, 0.0)
         Brhs = _rhs_matrix(el_pos, ex_mat, n, k_class.dtype)
         Brhs = Brhs.at[ref_node, :].set(0.0)
-        C0 = jax.scipy.linalg.solve_triangular(L, Brhs, lower=True)
-        u0 = jax.scipy.linalg.solve_triangular(L.T, C0, lower=False)[el_pos]
-        yq = Q.T @ C0  # (r, n_exc)
-        zq = jax.scipy.linalg.solve_triangular(L.T, Q, lower=False)[el_pos]
-        return s2, u0, yq, zq
+        return _lowrank_core(K_base, k_class[lung_class], idx, mask, Brhs, el_pos)
+
+
+@functools.partial(jax.jit, static_argnames=("lung_class",))
+def _lowrank_setup_general(
+    k_class, fixed, sigma_base, lung_class, idx, mask, rhs, readout_rows,
+    alpha0,
+):
+    with jax.default_matmul_precision("highest"):
+        sig = sigma_base.at[lung_class].set(alpha0)
+        K_base = jnp.tensordot(
+            sig, k_class, axes=([0], [0]),
+            precision=jax.lax.Precision.HIGHEST,
+        ) + fixed
+        return _lowrank_core(
+            K_base, k_class[lung_class], idx, mask, rhs, readout_rows
+        )
 
 
 @functools.partial(jax.jit, static_argnames=("lung_class", "ref_node"))
