@@ -241,18 +241,22 @@ def rib_batch(
     rng: np.random.Generator = None,
     return_boxes: bool = False,
 ) -> Dict[str, np.ndarray]:
-    """Detect-only training batch for the rib model (class 0 = rib)."""
+    """Detect-only training batch for the rib model (class 0 = rib).
+
+    Images stay uint8 (the trainer normalizes inside the jit — a 640^2 f32
+    batch costs 4x the host->device bytes for nothing) and the unused mask
+    targets are 1x1 placeholders (segment=False never reads them)."""
     rng = rng or np.random.default_rng(0)
     I = max_instances
-    images = np.zeros((batch, imgsz, imgsz, 3), np.float32)
+    images = np.zeros((batch, imgsz, imgsz, 3), np.uint8)
     boxes = np.zeros((batch, I, 4), np.float32)
     classes = np.zeros((batch, I), np.int32)
-    masks = np.zeros((batch, I, imgsz // 4, imgsz // 4), np.float32)
+    masks = np.zeros((batch, I, 1, 1), np.float32)
     valid = np.zeros((batch, I), bool)
     raw_boxes = []
     for b in range(batch):
         img, bx = frontal_rib_phantom(rng, imgsz)
-        images[b] = np.repeat(img[..., None], 3, -1).astype(np.float32) / 255.0
+        images[b] = np.repeat(img[..., None], 3, -1)
         n = min(bx.shape[0], I)
         boxes[b, :n] = bx[:n]
         valid[b, :n] = True

@@ -189,13 +189,18 @@ class Trainer:
     # ------------------------------------------------------------------
     def _loss_fn(self, params, batch_stats, batch):
         cfg = self.cfg
+        images = batch["images"]
+        if images.dtype == jnp.uint8:
+            # uint8 batches cross the host->device link at 1/4 the bytes;
+            # normalization belongs inside the compiled step
+            images = images.astype(jnp.float32) / 255.0
         out, mutated = self.model.apply(
             {"params": params, "batch_stats": batch_stats},
-            batch["images"],
+            images,
             train=True,
             mutable=["batch_stats"],
         )
-        B = batch["images"].shape[0]
+        B = images.shape[0]
         reg_max = cfg.reg_max
         box_logits = jnp.concatenate(
             [bm.reshape(B, -1, 4 * reg_max) for bm, _ in out["levels"]], 1
