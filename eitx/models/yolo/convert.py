@@ -218,6 +218,19 @@ def load_eitx_checkpoint(path: str) -> Dict:
     return out
 
 
+def peek_checkpoint_meta(path: str) -> Dict:
+    """Read the 'meta' dict of an eitx msgpack checkpoint without building
+    a model ({} for .pt archives or checkpoints without meta)."""
+    if path.endswith(".pt"):
+        return {}
+    from flax import serialization
+
+    with open(path, "rb") as fh:
+        tree = serialization.msgpack_restore(fh.read())
+    meta = tree.get("meta")
+    return dict(meta) if isinstance(meta, dict) else {}
+
+
 def load_weights(pt_path: str, model, imgsz: int = 512):
     """Convenience: checkpoint path -> jnp variables ready for apply().
 

@@ -67,6 +67,21 @@ class YoloRunner:
         seed: int = 0,
         dtype: str = "float32",
     ):
+        if weights:
+            # an eitx checkpoint records its own architecture: adopt its
+            # size variant (loading 'n' weights into an 's' graph can only
+            # fail) and refuse a class-count mismatch outright
+            from ...core.errors import ModelError
+            from .convert import peek_checkpoint_meta
+
+            meta = peek_checkpoint_meta(weights)
+            if meta.get("variant"):
+                variant = str(meta["variant"])
+            if meta.get("nc") and int(meta["nc"]) != nc:
+                raise ModelError(
+                    f"checkpoint {weights} was trained with nc="
+                    f"{meta['nc']}, runner expects nc={nc}"
+                )
         self.spec = yolov11_spec(variant, nc=nc, segment=segment)
         self.model = YoloV11(self.spec)
         self.imgsz = imgsz

@@ -399,3 +399,36 @@ def test_label_composition_coarse_matches_fullres():
     up = coarse.repeat(4, 0).repeat(4, 1)
     agree = (up == full).mean()
     assert agree > 0.98, agree
+
+
+def test_checkpoint_meta_variant_adopted(tmp_path):
+    """A runner given an eitx checkpoint adopts the checkpoint's recorded
+    size variant, and refuses a class-count mismatch."""
+    import pytest
+    from flax import serialization
+
+    from eitx.core.errors import ModelError
+    from eitx.models.yolo.infer import TissueSegmenter
+    from eitx.models.yolo.model import YoloV11, yolov11_spec
+
+    spec = yolov11_spec("n", nc=4, segment=True)
+    model = YoloV11(spec)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+    )
+    payload = {
+        "params": jax.device_get(variables["params"]),
+        "batch_stats": jax.device_get(variables.get("batch_stats", {})),
+        "meta": {"variant": "n", "imgsz": 64, "nc": 4},
+    }
+    path = str(tmp_path / "ck.msgpack")
+    with open(path, "wb") as fh:
+        fh.write(serialization.msgpack_serialize(payload))
+
+    seg = TissueSegmenter(imgsz=64, weights=path, variant="s")  # wrong variant
+    assert seg.spec is not None
+    lab = seg.segment_labels(np.zeros((1, 64, 64), np.uint8))
+    assert lab.shape == (1, 64, 64)
+
+    with pytest.raises(ModelError):
+        TissueSegmenter(imgsz=64, weights=path, nc=7)
