@@ -136,7 +136,7 @@ class YoloRunner:
 
         return run
 
-    def _build_segment_labels(self, in_hw, rgb: bool):
+    def _build_segment_labels(self, in_hw, rgb: bool, full: bool = False):
         """Fully-fused throughput path: uint8 in, int8 labels out.
 
         Preprocessing (cast, /255, channel replication, letterbox) runs
@@ -166,21 +166,23 @@ class YoloRunner:
                 )
                 x = jax.lax.dynamic_update_slice(canvas, x, (0, pad_y, pad_x, 0))
             out = model.apply(variables, x, train=False)
-            # compose at PROTO resolution (imgsz/4): the masks carry no
-            # finer detail, and returning the coarse image cuts the
-            # device->host transfer 16x (host does the nearest upsample);
-            # boxes stay in input-pixel coords (input_hw), only the label
-            # image is coarse (out_hw)
+            # throughput path composes at PROTO resolution (imgsz/4):
+            # returning the coarse image cuts the device->host transfer
+            # 16x (host does the nearest upsample). The quality path
+            # (full=True, used per-request) bilinear-upsamples the soft
+            # masks to full resolution BEFORE thresholding, so thin
+            # structures keep sub-proto-cell boundaries.
+            q = 1 if full else 4
             _, labels = postprocess_segment_labels(
                 out, (imgsz, imgsz), conf, iou, max_det,
-                out_hw=(imgsz // 4, imgsz // 4),
+                out_hw=(imgsz // q, imgsz // q),
             )
             return labels.astype(jnp.int8)
 
         return run
 
     def segment_labels(
-        self, images: np.ndarray, chunk: int = 16
+        self, images: np.ndarray, chunk: int = 16, compose_full: bool = False
     ) -> np.ndarray:
         """uint8 (B, H, W[, 3]) -> (B, H, W) int32 label images.
 
@@ -191,15 +193,22 @@ class YoloRunner:
         host->device transfer, device program, and device->host label fetch
         are enqueued asynchronously, so the link (the bottleneck on
         relay-attached chips) stays busy while earlier chunks compute and
-        the host upsamples already-fetched labels."""
+        the host upsamples already-fetched labels.
+
+        ``compose_full`` switches to the quality path: masks are bilinear-
+        upsampled to network resolution before thresholding (better thin-
+        structure boundaries, (max_det, imgsz, imgsz) device memory per
+        image) — meant for per-request inference, not bulk throughput."""
         arr = np.asarray(images)
         if arr.dtype != np.uint8:
             arr = np.clip(arr, 0, 255).astype(np.uint8)
         rgb = arr.ndim == 4
         h, w = arr.shape[1], arr.shape[2]
-        key = (h, w, rgb)
+        key = (h, w, rgb, compose_full)
         if self._segment_labels_fn is None or self._segment_labels_key != key:
-            self._segment_labels_fn = self._build_segment_labels((h, w), rgb)
+            self._segment_labels_fn = self._build_segment_labels(
+                (h, w), rgb, full=compose_full
+            )
             self._segment_labels_key = key
         fn = self._segment_labels_fn
         b = arr.shape[0]
@@ -218,15 +227,16 @@ class YoloRunner:
         for o in pieces_dev:
             coarse = np.asarray(o)  # blocks for THIS chunk only
             n = min(coarse.shape[0], b - done)
-            out[done : done + n] = self._upsample_labels(coarse[:n], h, w)
+            out[done : done + n] = self._upsample_labels(
+                coarse[:n], h, w, q=1 if compose_full else 4
+            )
             done += n
         return out
 
-    def _upsample_labels(self, coarse: np.ndarray, h: int, w: int):
-        """Un-letterbox + nearest upsample proto-res labels to (h, w)."""
+    def _upsample_labels(self, coarse: np.ndarray, h: int, w: int, q: int = 4):
+        """Un-letterbox + nearest upsample labels at stride ``q`` to (h, w)."""
         scale, pad_x, pad_y = letterbox_params(h, w, self.imgsz)
         nh, nw = int(round(h * scale)), int(round(w * scale))
-        q = 4  # proto stride
         coarse = coarse[:, pad_y // q : (pad_y + nh) // q,
                         pad_x // q : (pad_x + nw) // q]
         ch, cw = coarse.shape[1], coarse.shape[2]
@@ -318,7 +328,11 @@ class TissueSegmenter(YoloRunner):
 
         Instances paint lowest-score-first on device so the highest
         confidence instance wins overlaps (the reference's saturating
-        cv2.add produces undefined colors on overlap — utils.py:519)."""
+        cv2.add produces undefined colors on overlap — utils.py:519).
+        Per-request latency is compute-light, so the quality composition
+        (full-resolution soft-mask upsample before threshold) is used."""
         t0 = time.time()
-        labels = self.segment_labels(np.asarray(axial_slice)[None])[0]
+        labels = self.segment_labels(
+            np.asarray(axial_slice)[None], compose_full=True
+        )[0]
         return labels, round(time.time() - t0, 3)

@@ -229,29 +229,34 @@ def compose_label_image(
     m = jax.nn.sigmoid(
         jnp.einsum("kn,hwn->khw", det.coefs.astype(proto.dtype), proto)
     )
-    sx, sy = wp / in_w, hp / in_h
+    if (h, w) != (hp, wp):
+        # quality path: bilinear-upsample the soft masks BEFORE the box
+        # crop + 0.5 threshold (ultralytics process_mask upsample=True
+        # semantics) — thin structures survive; the proto-res path would
+        # quantize them to the 1/4 grid. Costs (K, h, w) memory: meant for
+        # small batches / the per-request pipeline, not bulk throughput.
+        m = jax.image.resize(m, (m.shape[0], h, w), method="bilinear")
+    sx, sy = w / in_w, h / in_h
     bx = det.boxes * jnp.array([sx, sy, sx, sy], proto.dtype)
-    xs = jnp.arange(wp, dtype=proto.dtype)[None, None, :]
-    ys = jnp.arange(hp, dtype=proto.dtype)[None, :, None]
+    xs = jnp.arange(w, dtype=proto.dtype)[None, None, :]
+    ys = jnp.arange(h, dtype=proto.dtype)[None, :, None]
     inside = (
         (xs >= bx[:, 0][:, None, None])
         & (xs < bx[:, 2][:, None, None])
         & (ys >= bx[:, 1][:, None, None])
         & (ys < bx[:, 3][:, None, None])
     )
-    hit = (m > 0.5) & inside & det.valid[:, None, None]  # (K, hp, wp)
+    hit = (m > 0.5) & inside & det.valid[:, None, None]  # (K, h, w)
     order = jnp.argsort(det.scores)  # ascending: best painted last
 
     def body(i, lab):
         k = order[i]
         return jnp.where(hit[k], det.classes[k], lab)
 
-    lab = jax.lax.fori_loop(
+    return jax.lax.fori_loop(
         0, det.scores.shape[0], body,
-        jnp.full((hp, wp), -1, jnp.int32),
+        jnp.full((h, w), -1, jnp.int32),
     )
-    # nearest-neighbour upsample to the input resolution
-    return jax.image.resize(lab, (h, w), method="nearest")
 
 
 def postprocess_segment_labels(

@@ -81,7 +81,8 @@ def evaluate_checkpoint(
         n_eval, imgsz, 12, np.random.default_rng(seed), return_labels=True
     )
     imgs_u8 = (held["images"][..., 0] * 255).astype(np.uint8)
-    pred = seg.segment_labels(imgs_u8)
+    # quality composition — the path the per-request pipeline serves
+    pred = seg.segment_labels(imgs_u8, chunk=8, compose_full=True)
     # evaluator masks use the class_id + 1 convention (0 = background)
     results = evaluate_dataset(
         zip(held["labels"] + 1, pred + 1), n_classes=4

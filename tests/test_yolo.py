@@ -432,3 +432,20 @@ def test_checkpoint_meta_variant_adopted(tmp_path):
 
     with pytest.raises(ModelError):
         TissueSegmenter(imgsz=64, weights=path, nc=7)
+
+
+def test_segment_labels_quality_path():
+    """compose_full=True (quality path): full-resolution soft-mask
+    upsample before threshold. Must keep the chunked==single invariant,
+    produce the same shape, and agree with the throughput path on the
+    vast majority of pixels (they differ only at 1/4-cell boundaries)."""
+    seg = TissueSegmenter(imgsz=IMG, variant="n", max_det=8, seed=3)
+    rng = np.random.default_rng(7)
+    imgs = rng.integers(0, 255, (5, IMG, IMG), dtype=np.uint8)
+    q_whole = seg.segment_labels(imgs, chunk=64, compose_full=True)
+    q_parts = seg.segment_labels(imgs, chunk=2, compose_full=True)
+    assert q_whole.shape == (5, IMG, IMG)
+    assert np.array_equal(q_whole, q_parts)
+    thr = seg.segment_labels(imgs, chunk=64, compose_full=False)
+    agree = (q_whole == thr).mean()
+    assert agree > 0.9, agree
