@@ -214,3 +214,30 @@ def test_jpg_png_mode_with_trained_checkpoint(tmp_path):
     classes_present = {line.split()[0] for line in crd[2:]}
     # trained model must produce multiple tissue classes on a phantom
     assert len(classes_present) >= 2, classes_present
+
+
+def test_rib_detector_trained_checkpoint_selects_slice():
+    """The committed rib-detector checkpoint must find ribs on a held-out
+    frontal phantom and drive the between-ribs-6-and-7 slice-selection
+    rule (reference utils.py:166-269) end to end."""
+    import os
+
+    ckpt = os.path.join("weights", "ribs_n_640.msgpack")
+    if not os.path.exists(ckpt):
+        pytest.skip("no trained rib checkpoint in weights/")
+    from eitx.models.yolo.infer import RibsDetector
+    from eitx.select import select_axial_slice_number
+    from eitx.train.phantoms import frontal_rib_phantom
+
+    det = RibsDetector(weights=ckpt, imgsz=640, variant="n", max_det=32)
+    rng = np.random.default_rng(2024)
+    img, gt = frontal_rib_phantom(rng, 640)
+    d = det.predict(img)
+    pred = d.boxes[d.valid]
+    assert pred.shape[0] >= 7, f"only {pred.shape[0]} ribs detected"
+    numbers = select_axial_slice_number(pred, 0, image_width=640)
+    right = pred[pred[:, 0] > 320]
+    ys = np.sort(right[:, 1])
+    assert len(ys) >= 7
+    # the selected row must land between sorted right-side ribs 6 and 7
+    assert ys[5] <= numbers[-1] <= ys[6] + 1, (ys[5:7], numbers)
