@@ -17,6 +17,9 @@ WORKDIR /app
 COPY pyproject.toml README.md ./
 COPY eitx ./eitx
 COPY bench.py ./
+# in-repo trained checkpoints (auto-discovered; a ./weights volume mount
+# overrides them)
+COPY weights ./weights
 
 # TPU hosts: pip install "jax[tpu]" -f https://storage.googleapis.com/jax-releases/libtpu_releases.html
 RUN pip install --no-cache-dir jax flax optax numpy scipy pillow \
