@@ -10,7 +10,7 @@ from .sheffield import (
     sheffield_monitoring,
     sheffield_solve_admittance,
 )
-from .inverse import DifferenceImager, reconstruct_monitoring
+from .inverse import DifferenceImager, gauss_newton_absolute, reconstruct_monitoring
 from .forward import (
     compact_mesh_nodes,
     load_mesh_txt,
@@ -36,6 +36,7 @@ __all__ = [
     "forward_solve_admittance",
     "simulate_eit_spectroscopy",
     "DifferenceImager",
+    "gauss_newton_absolute",
     "reconstruct_monitoring",
     "electrode_averaging_matrix",
     "sheffield_ex_mat",
