@@ -23,12 +23,14 @@ import time
 import numpy as np
 
 
-def pregenerate(n: int, imgsz: int, max_instances: int, seed: int):
+def pregenerate(n: int, imgsz: int, max_instances: int, seed: int,
+                rich: bool = False):
     """n phantom samples with targets; pseudo-labels batch on device."""
     from ..train.phantoms import phantom_batch
 
     rng = np.random.default_rng(seed)
-    return phantom_batch(n, imgsz, max_instances, rng, return_labels=True)
+    return phantom_batch(n, imgsz, max_instances, rng, return_labels=True,
+                         rich=rich)
 
 
 def _flip_batch(b, imgsz: int, axis: int):
@@ -67,7 +69,7 @@ def batches_from(data, batch, seed=0, augment=True):
 
 def evaluate_checkpoint(
     ckpt_path: str, imgsz: int, variant: str, n_eval: int = 32,
-    seed: int = 777,
+    seed: int = 777, rich: bool = False,
 ) -> dict:
     """Held-out macro IoU of the trained segmenter vs pseudo-labels."""
     from ..eval.metrics import evaluate_dataset
@@ -78,7 +80,8 @@ def evaluate_checkpoint(
         imgsz=imgsz, weights=ckpt_path, variant=variant, max_det=16
     )
     held = phantom_batch(
-        n_eval, imgsz, 12, np.random.default_rng(seed), return_labels=True
+        n_eval, imgsz, 12, np.random.default_rng(seed), return_labels=True,
+        rich=rich,
     )
     imgs_u8 = (held["images"][..., 0] * 255).astype(np.uint8)
     # quality composition — the path the per-request pipeline serves
@@ -114,6 +117,11 @@ def main(argv=None):
     p.add_argument("--eval-n", type=int, default=32)
     p.add_argument("--report", default=None,
                    help="write the eval JSON report here")
+    p.add_argument("--rich", action="store_true",
+                   help="train on the widened phantom distribution "
+                        "(harder rotations/asymmetry/calcifications); "
+                        "the report then carries evals on BOTH "
+                        "distributions")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     log = logging.getLogger("eitx.train_tissue")
@@ -125,7 +133,7 @@ def main(argv=None):
 
     t0 = time.time()
     log.info("pregenerating %d phantoms...", args.n_train)
-    data = pregenerate(args.n_train, args.imgsz, 12, seed=0)
+    data = pregenerate(args.n_train, args.imgsz, 12, seed=0, rich=args.rich)
     log.info("data ready in %.1fs", time.time() - t0)
 
     cfg = TrainConfig(
@@ -169,6 +177,11 @@ def main(argv=None):
     report = evaluate_checkpoint(
         args.out, args.imgsz, args.variant, n_eval=args.eval_n
     )
+    if args.rich:
+        report["rich_distribution_eval"] = evaluate_checkpoint(
+            args.out, args.imgsz, args.variant, n_eval=args.eval_n,
+            rich=True,
+        )
     report["final_train_metrics"] = {
         k: round(v, 4) for k, v in metrics.items()
     }

@@ -38,13 +38,19 @@ def _ellipse(xx, yy, cx, cy, rx, ry, rot=0.0):
 
 
 def thorax_phantom_hu(
-    rng: np.random.Generator, s: int = 256
+    rng: np.random.Generator, s: int = 256, rich: bool = False
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Random thorax slice in HU. Returns (hu (s, s) f32, body mask)."""
+    """Random thorax slice in HU. Returns (hu (s, s) f32, body mask).
+
+    ``rich=True`` widens the anatomical variability (rotation, asymmetric
+    breathing, calcifications, occasional single lung, noise level) for
+    harder training distributions; the default keeps the original
+    distribution so committed checkpoint reports stay reproducible."""
     yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
-    cx = s / 2 + rng.uniform(-s * 0.04, s * 0.04)
-    cy = s / 2 + rng.uniform(-s * 0.04, s * 0.04)
-    rot = rng.uniform(-0.12, 0.12)
+    off = 0.06 if rich else 0.04
+    cx = s / 2 + rng.uniform(-s * off, s * off)
+    cy = s / 2 + rng.uniform(-s * off, s * off)
+    rot = rng.uniform(-0.30, 0.30) if rich else rng.uniform(-0.12, 0.12)
     rx = s * rng.uniform(0.33, 0.42)
     ry = s * rng.uniform(0.24, 0.32)
 
@@ -52,23 +58,30 @@ def thorax_phantom_hu(
     body = _ellipse(xx, yy, cx, cy, rx, ry, rot)
     # fat ring (body minus muscle zone)
     hu[body] = _HU["fat"]
-    muscle = _ellipse(xx, yy, cx, cy, rx * rng.uniform(0.88, 0.94),
+    mcx = cx + (rng.uniform(-s * 0.02, s * 0.02) if rich else 0.0)
+    mcy = cy + (rng.uniform(-s * 0.02, s * 0.02) if rich else 0.0)
+    muscle = _ellipse(xx, yy, mcx, mcy, rx * rng.uniform(0.88, 0.94),
                       ry * rng.uniform(0.86, 0.93), rot)
     hu[muscle] = _HU["muscle"]
     # inner mediastinum fat pockets
-    for _ in range(rng.integers(0, 3)):
+    for _ in range(rng.integers(0, 5 if rich else 3)):
         fx = cx + rng.uniform(-rx * 0.2, rx * 0.2)
         fy = cy + rng.uniform(-ry * 0.3, ry * 0.3)
         pocket = _ellipse(xx, yy, fx, fy, s * rng.uniform(0.02, 0.05),
                           s * rng.uniform(0.02, 0.05), rng.uniform(0, 3))
         hu[pocket & muscle] = _HU["fat"]
-    # two lungs (breathing-phase size jitter)
+    # two lungs (breathing-phase size jitter; rich: independent per-lung
+    # phase + 5% single-lung cases)
     breath = rng.uniform(0.75, 1.1)
-    for side in (-1, 1):
+    sides = (-1, 1)
+    if rich and rng.random() < 0.05:
+        sides = (rng.choice([-1, 1]),)
+    for side in sides:
+        b = rng.uniform(0.70, 1.15) if rich else breath
         lx = cx + side * rx * rng.uniform(0.36, 0.46)
         ly = cy + ry * rng.uniform(-0.08, 0.08)
-        lrx = rx * rng.uniform(0.24, 0.32) * breath
-        lry = ry * rng.uniform(0.45, 0.62) * breath
+        lrx = rx * rng.uniform(0.24, 0.32) * b
+        lry = ry * rng.uniform(0.45, 0.62) * b
         lung = _ellipse(xx, yy, lx, ly, lrx, lry,
                         rot + side * rng.uniform(0.0, 0.25))
         hu[lung & muscle] = _HU["lung"]
@@ -90,7 +103,18 @@ def thorax_phantom_hu(
         by = cy + ry * 0.93 * np.sin(ang)
         rib = _ellipse(xx, yy, bx, by, s * 0.015, s * 0.01, ang)
         hu[rib & body] = _HU["bone"]
-    hu += rng.normal(0.0, 12.0, hu.shape).astype(np.float32)
+    if rich:
+        # calcifications: small bone islands inside the muscle zone
+        for _ in range(rng.integers(0, 4)):
+            ang = rng.uniform(0, 2 * np.pi)
+            r = rng.uniform(0.3, 0.8)
+            bx = cx + rx * r * np.cos(ang)
+            by = cy + ry * r * np.sin(ang)
+            isl = _ellipse(xx, yy, bx, by, s * rng.uniform(0.008, 0.02),
+                           s * rng.uniform(0.008, 0.02), ang)
+            hu[isl & muscle] = _HU["bone"]
+    sigma_n = rng.uniform(8.0, 20.0) if rich else 12.0
+    hu += rng.normal(0.0, sigma_n, hu.shape).astype(np.float32)
     return hu, (body * 255).astype(np.uint8)
 
 
@@ -140,6 +164,7 @@ def phantom_batch(
     max_instances: int = 12,
     rng: np.random.Generator = None,
     return_labels: bool = False,
+    rich: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Training batch from HU phantoms pseudo-labeled on device."""
     rng = rng or np.random.default_rng(0)
@@ -151,7 +176,7 @@ def phantom_batch(
     valid = np.zeros((batch, I), bool)
     label_imgs = np.zeros((batch, imgsz, imgsz), np.int32)
     for b in range(batch):
-        hu, body = thorax_phantom_hu(rng, imgsz)
+        hu, body = thorax_phantom_hu(rng, imgsz, rich=rich)
         labels = pseudo_label_slice(hu, body)
         img = np.asarray(window_normalize(hu, 40.0, 400.0))[::-1, ::-1]
         labels = labels[::-1, ::-1]  # same rot180 as the windowed image

@@ -162,3 +162,18 @@ def test_sharded_segment_labels_matches_single():
     sharded = sharded_segment_labels(seg, imgs, mesh)
     assert sharded.shape == single.shape
     assert np.array_equal(sharded, single)
+
+
+def test_rich_phantom_distribution():
+    """rich=True widens the phantom distribution without breaking the
+    label contract, and rich=False stays bit-identical to the original
+    stream (committed checkpoint reports must remain reproducible)."""
+    from eitx.train.phantoms import phantom_batch, thorax_phantom_hu
+
+    rng = np.random.default_rng(11)
+    b = phantom_batch(2, 96, 12, rng, return_labels=True, rich=True)
+    assert b["valid"].any()
+    assert set(np.unique(b["labels"])) <= {-1, 0, 1, 2, 3}
+    h1, _ = thorax_phantom_hu(np.random.default_rng(5), 96)
+    h2, _ = thorax_phantom_hu(np.random.default_rng(5), 96, rich=False)
+    assert np.array_equal(h1, h2)
