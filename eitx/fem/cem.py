@@ -72,7 +72,7 @@ def electrode_arcs(
     of (edge node pairs (k, 2) int, edge lengths (k,)) per electrode.
     """
     nodes = np.asarray(nodes, dtype=np.float64)
-    loop = _orient_ccw(nodes, boundary_loop(tris))
+    loop = _orient_ccw(nodes, boundary_loop(tris, nodes))
     pts = nodes[loop]
     centroid = pts.mean(axis=0)
     ang = np.arctan2(pts[:, 1] - centroid[1], pts[:, 0] - centroid[0])
@@ -223,6 +223,7 @@ def spectral_cem_solver(
     meas_mat: np.ndarray,
     alpha0: float,
     current: float = 1.0,
+    rank_bucket: int = 256,
 ):
     """Spectral pencil factorization of the CEM system. The lung block
     keeps its small node support inside the augmented matrix, so the
@@ -249,4 +250,5 @@ def spectral_cem_solver(
         readout,
         meas_mat,
         alpha0,
+        rank_bucket=rank_bucket,
     )

@@ -16,11 +16,20 @@ import numpy as np
 from ..core.errors import MeshingError
 
 
-def boundary_loop(tris: np.ndarray) -> np.ndarray:
+def boundary_loop(
+    tris: np.ndarray, nodes: np.ndarray = None
+) -> np.ndarray:
     """Ordered closed loop of boundary node indices.
 
     Boundary edges are triangle edges referenced by exactly one element.
-    Raises MeshingError if the boundary is not a single closed loop.
+    Without ``nodes`` the boundary must be a single manifold loop (every
+    boundary node has exactly two boundary neighbours) or MeshingError is
+    raised. With ``nodes`` the walk is geometric and robust to real-world
+    meshes (the patient-derived fixture, tests/test_realfixture.py):
+    pinch (bowtie) nodes with 4+ boundary neighbours are traversed by an
+    outer-face turn rule, and interior hole loops are ignored — the
+    returned loop is the OUTER boundary, which is what electrode
+    placement needs. Pinch nodes appear in the loop once per visit.
     """
     tris = np.asarray(tris)
     edges = np.concatenate(
@@ -33,35 +42,81 @@ def boundary_loop(tris: np.ndarray) -> np.ndarray:
     boundary = edges[counts[inv] == 1]
     if boundary.shape[0] == 0:
         raise MeshingError("mesh has no boundary edges")
-    # Undirected adjacency walk: every boundary node of a manifold loop has
-    # exactly two boundary neighbours (element winding may be inconsistent,
-    # so directed edges cannot be trusted).
+    # Undirected adjacency (element winding may be inconsistent, so
+    # directed edges cannot be trusted).
     adj: dict = {}
     for a, b in boundary:
         adj.setdefault(int(a), []).append(int(b))
         adj.setdefault(int(b), []).append(int(a))
-    for node, nbrs in adj.items():
-        if len(nbrs) != 2:
+    manifold = all(len(n) == 2 for n in adj.values())
+    if nodes is None:
+        for node, nbrs in adj.items():
+            if len(nbrs) != 2:
+                raise MeshingError(
+                    f"non-manifold boundary at node {node} "
+                    f"({len(nbrs)} neighbours); pass nodes for the "
+                    "geometric outer-loop walk"
+                )
+    if manifold and nodes is None:
+        start = int(boundary[0, 0])
+        loop = [start]
+        prev, cur = None, start
+        while True:
+            a, b = adj[cur]
+            nxt = b if a == prev else a
+            if nxt == start:
+                break
+            loop.append(nxt)
+            prev, cur = cur, nxt
+            if len(loop) > len(adj):
+                raise MeshingError(
+                    "boundary walk did not close (non-manifold mesh)"
+                )
+        if len(loop) != len(adj):
             raise MeshingError(
-                f"non-manifold boundary at node {node} ({len(nbrs)} neighbours)"
+                f"multiple boundary loops ({len(loop)} of {len(adj)} "
+                "nodes walked)"
             )
-    start = int(boundary[0, 0])
+        return np.array(loop, dtype=np.int64)
+
+    # Geometric outer-face walk. Start at the bottommost (then leftmost)
+    # boundary node — guaranteed to lie on the outer loop — heading to
+    # the neighbour that keeps the interior on the left (CCW); at every
+    # node pick the most-counterclockwise candidate relative to the
+    # reversed incoming direction, which follows the outer face through
+    # pinch nodes without crossing into it.
+    pts = np.asarray(nodes, np.float64)
+    bnodes = np.fromiter(adj.keys(), dtype=np.int64)
+    bxy = pts[bnodes]
+    start = int(bnodes[np.lexsort((bxy[:, 0], bxy[:, 1]))[0]])
+
+    def turn_key(cur, prev_dir, cand):
+        v = pts[cand] - pts[cur]
+        # angle of v measured CCW from the reversed incoming direction;
+        # smallest positive angle = sharpest left turn = outer face when
+        # walking CCW with interior on the left
+        a = math.atan2(v[1], v[0]) - math.atan2(-prev_dir[1], -prev_dir[0])
+        return a % (2.0 * math.pi)
+
+    # initial direction: fake incoming from straight below (heading +y),
+    # valid because start is the bottommost node so the exterior is below
+    first = min(
+        set(adj[start]),
+        key=lambda c: turn_key(start, np.array([0.0, 1.0]), c),
+    )
     loop = [start]
-    prev, cur = None, start
-    while True:
-        a, b = adj[cur]
-        nxt = b if a == prev else a
-        if nxt == start:
-            break
-        loop.append(nxt)
+    cur, prev = first, start
+    first_edge = (start, first)
+    guard = 4 * boundary.shape[0] + 8
+    while (prev, cur) != first_edge or len(loop) == 1:
+        loop.append(cur)
+        prev_dir = pts[cur] - pts[prev]
+        cands = [c for c in adj[cur] if c != prev] or [prev]
+        nxt = min(cands, key=lambda c: turn_key(cur, prev_dir, c))
         prev, cur = cur, nxt
-        if len(loop) > len(adj):
-            raise MeshingError("boundary walk did not close (non-manifold mesh)")
-    if len(loop) != len(adj):
-        raise MeshingError(
-            f"multiple boundary loops ({len(loop)} of {len(adj)} nodes walked)"
-        )
-    return np.array(loop, dtype=np.int64)
+        if len(loop) > guard:
+            raise MeshingError("outer boundary walk did not close")
+    return np.array(loop[:-1] if loop[-1] == start else loop, dtype=np.int64)
 
 
 def _orient_ccw(nodes: np.ndarray, loop: np.ndarray) -> np.ndarray:
@@ -83,7 +138,7 @@ def place_electrodes_equal_spacing(
     measured from the centroid) plus ``starting_offset`` (fraction of the
     inter-electrode spacing)."""
     nodes = np.asarray(nodes, dtype=np.float64)
-    loop = _orient_ccw(nodes, boundary_loop(tris))
+    loop = _orient_ccw(nodes, boundary_loop(tris, nodes))
     pts = nodes[loop]
     centroid = pts.mean(axis=0)
     ang = np.arctan2(pts[:, 1] - centroid[1], pts[:, 0] - centroid[0])

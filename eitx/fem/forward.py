@@ -287,7 +287,11 @@ def simulate_eit_monitoring(
             starting_angle=math.radians(cfg.starting_angle_deg),
             dtype=dtype,
         )
-        if cfg.solver == "spectral":
+        if cfg.solver in ("spectral", "spectral_full"):
+            # both spectral flavors route through the low-rank CEM
+            # factorization (the augmented system has no full-pencil
+            # variant); 'spectral_full' differs only on the point-
+            # electrode path
             from .cem import spectral_cem_solver
 
             lung_col = classes.name_to_id()["lung"]
@@ -295,6 +299,7 @@ def simulate_eit_monitoring(
             solver = spectral_cem_solver(
                 system, sigma[0], lung_col, proto.ex_mat, proto.meas_mat,
                 alpha0=float(alphas.mean()),
+                rank_bucket=cfg.spectral_rank_bucket,
             )
             v = solver.solve(alphas)
         else:

@@ -88,11 +88,19 @@ def fill_holes(mask: jnp.ndarray) -> jnp.ndarray:
     def body(state):
         reach, _ = state
         nd = reach.ndim
-        window = (1,) * (nd - 2) + (3, 3)
         strides = (1,) * nd
-        padding = ((0, 0),) * (nd - 2) + (((1, 1),) * 2)
+        # 4-connected flood: the foreground is 8-connected, so by duality
+        # its holes are 4-connected background regions — an 8-connected
+        # grow would escape through diagonal gaps the outer boundary
+        # closes (cv2.drawContours-fill golden, tests/test_cv2_golden.py)
+        pad_h = ((0, 0),) * (nd - 2) + ((0, 0), (1, 1))
+        pad_v = ((0, 0),) * (nd - 2) + ((1, 1), (0, 0))
         grown = jax.lax.reduce_window(
-            reach, False, jax.lax.bitwise_or, window, strides, padding
+            reach, False, jax.lax.bitwise_or,
+            (1,) * (nd - 2) + (1, 3), strides, pad_h,
+        ) | jax.lax.reduce_window(
+            reach, False, jax.lax.bitwise_or,
+            (1,) * (nd - 2) + (3, 1), strides, pad_v,
         )
         new = grown & bg
         return new, jnp.any(new != reach)

@@ -199,17 +199,25 @@ def _to_mutable(tree):
     return tree
 
 
-def load_eitx_checkpoint(path: str) -> Dict:
+def restore_checkpoint_tree(path: str) -> Dict:
+    """Read + msgpack-decode an eitx checkpoint once; callers share the
+    restored tree between peek_checkpoint_meta and load_weights so runner
+    construction doesn't pay checkpoint I/O twice."""
+    from flax import serialization
+
+    with open(path, "rb") as fh:
+        return serialization.msgpack_restore(fh.read())
+
+
+def load_eitx_checkpoint(path: str, tree: Dict = None) -> Dict:
     """Load an eitx-native msgpack checkpoint into inference variables.
 
     Accepts either a deployment dict {params[, batch_stats]} (what
     scripts/train_tissue.py saves from the EMA weights) or a full
     TrainState payload (train/checkpoint.py) — opt_state/step are dropped.
     """
-    from flax import serialization
-
-    with open(path, "rb") as fh:
-        tree = serialization.msgpack_restore(fh.read())
+    if tree is None:
+        tree = restore_checkpoint_tree(path)
     if "params" not in tree:
         raise ModelError(f"checkpoint {path} has no 'params' tree")
     out = {"params": tree["params"]}
@@ -218,24 +226,23 @@ def load_eitx_checkpoint(path: str) -> Dict:
     return out
 
 
-def peek_checkpoint_meta(path: str) -> Dict:
+def peek_checkpoint_meta(path: str, tree: Dict = None) -> Dict:
     """Read the 'meta' dict of an eitx msgpack checkpoint without building
     a model ({} for .pt archives or checkpoints without meta)."""
     if path.endswith(".pt"):
         return {}
-    from flax import serialization
-
-    with open(path, "rb") as fh:
-        tree = serialization.msgpack_restore(fh.read())
+    if tree is None:
+        tree = restore_checkpoint_tree(path)
     meta = tree.get("meta")
     return dict(meta) if isinstance(meta, dict) else {}
 
 
-def load_weights(pt_path: str, model, imgsz: int = 512):
+def load_weights(pt_path: str, model, imgsz: int = 512, tree: Dict = None):
     """Convenience: checkpoint path -> jnp variables ready for apply().
 
     ``.pt`` files go through the torch-archive converter; anything else is
-    treated as an eitx-native msgpack checkpoint.
+    treated as an eitx-native msgpack checkpoint (pass ``tree`` to reuse
+    an already-restored payload).
     """
     import jax.numpy as jnp
     import jax
@@ -243,5 +250,5 @@ def load_weights(pt_path: str, model, imgsz: int = 512):
     if pt_path.endswith(".pt"):
         variables = convert_ultralytics_checkpoint(pt_path, model, imgsz)
     else:
-        variables = load_eitx_checkpoint(pt_path)
+        variables = load_eitx_checkpoint(pt_path, tree=tree)
     return jax.tree_util.tree_map(jnp.asarray, variables)

@@ -67,14 +67,17 @@ class YoloRunner:
         seed: int = 0,
         dtype: str = "float32",
     ):
+        ckpt_tree = None
         if weights:
             # an eitx checkpoint records its own architecture: adopt its
             # size variant (loading 'n' weights into an 's' graph can only
             # fail) and refuse a class-count mismatch outright
             from ...core.errors import ModelError
-            from .convert import peek_checkpoint_meta
+            from .convert import peek_checkpoint_meta, restore_checkpoint_tree
 
-            meta = peek_checkpoint_meta(weights)
+            if not weights.endswith(".pt"):
+                ckpt_tree = restore_checkpoint_tree(weights)
+            meta = peek_checkpoint_meta(weights, tree=ckpt_tree)
             if meta.get("variant"):
                 variant = str(meta["variant"])
             if meta.get("nc") and int(meta["nc"]) != nc:
@@ -92,7 +95,9 @@ class YoloRunner:
         if weights:
             from .convert import load_weights
 
-            self.variables = load_weights(weights, self.model, imgsz)
+            self.variables = load_weights(
+                weights, self.model, imgsz, tree=ckpt_tree
+            )
         else:
             self.variables = self.model.init(
                 jax.random.PRNGKey(seed),

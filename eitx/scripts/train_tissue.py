@@ -24,32 +24,35 @@ import numpy as np
 
 
 def pregenerate(n: int, imgsz: int, max_instances: int, seed: int,
-                rich: bool = False):
+                rich: bool = False, mask_res: int = None,
+                store_u8: bool = False):
     """n phantom samples with targets; pseudo-labels batch on device."""
     from ..train.phantoms import phantom_batch
 
     rng = np.random.default_rng(seed)
     return phantom_batch(n, imgsz, max_instances, rng, return_labels=True,
-                         rich=rich)
+                         rich=rich, mask_res=mask_res, store_u8=store_u8)
 
 
-def _flip_batch(b, imgsz: int, axis: int):
-    """Horizontal (axis=2) / vertical (axis=1) flip of a target batch."""
-    out = dict(b)
-    out["images"] = np.flip(b["images"], axis=axis)
-    out["masks"] = np.flip(b["masks"], axis=axis + 1)
-    boxes = b["boxes"].copy()
+def _flip_samples(b, imgsz: int, axis: int, sel: np.ndarray):
+    """In-place horizontal (axis=2) / vertical (axis=1) flip of the
+    ``sel``-masked samples of a minibatch (per-sample augmentation)."""
+    if not sel.any():
+        return
+    b["images"][sel] = np.flip(b["images"][sel], axis=axis)
+    b["masks"][sel] = np.flip(b["masks"][sel], axis=axis + 1)
+    boxes = b["boxes"][sel]
     lo, hi = (0, 2) if axis == 2 else (1, 3)
-    boxes[..., lo], boxes[..., hi] = (
-        imgsz - b["boxes"][..., hi], imgsz - b["boxes"][..., lo],
-    )
-    out["boxes"] = np.where(b["valid"][..., None], boxes, 0.0)
-    return out
+    new = boxes.copy()
+    new[..., lo] = imgsz - boxes[..., hi]
+    new[..., hi] = imgsz - boxes[..., lo]
+    b["boxes"][sel] = np.where(b["valid"][sel][..., None], new, 0.0)
 
 
 def batches_from(data, batch, seed=0, augment=True):
-    """Shuffle-cycle minibatches from a pregenerated sample store,
-    with random flip augmentation (4x effective variety)."""
+    """Shuffle-cycle minibatches from a pregenerated sample store, with
+    PER-SAMPLE random flip augmentation (4x effective variety; per-sample
+    draws keep samples within a batch decorrelated)."""
     n = data["images"].shape[0]
     imgsz = data["images"].shape[1]
     rng = np.random.default_rng(seed)
@@ -60,10 +63,8 @@ def batches_from(data, batch, seed=0, augment=True):
             idx = order[k0 : k0 + batch]
             b = {k: data[k][idx] for k in keys}
             if augment:
-                if rng.random() < 0.5:
-                    b = _flip_batch(b, imgsz, axis=2)
-                if rng.random() < 0.25:
-                    b = _flip_batch(b, imgsz, axis=1)
+                _flip_samples(b, imgsz, 2, rng.random(batch) < 0.5)
+                _flip_samples(b, imgsz, 1, rng.random(batch) < 0.25)
             yield b
 
 
@@ -122,7 +123,15 @@ def main(argv=None):
                         "(harder rotations/asymmetry/calcifications); "
                         "the report then carries evals on BOTH "
                         "distributions")
+    p.add_argument("--mask-res", type=int, default=0,
+                   help="mask supervision resolution (0 = imgsz/2, the "
+                        "higher-res default; pass imgsz/4 for legacy "
+                        "proto-res supervision)")
+    p.add_argument("--mask-topk", type=int, default=160,
+                   help="mask loss over only the K best positive anchors "
+                        "(0 = all-anchor legacy path)")
     args = p.parse_args(argv)
+    mask_res = args.mask_res or args.imgsz // 2
     logging.basicConfig(level=logging.INFO)
     log = logging.getLogger("eitx.train_tissue")
 
@@ -133,19 +142,21 @@ def main(argv=None):
 
     t0 = time.time()
     log.info("pregenerating %d phantoms...", args.n_train)
-    data = pregenerate(args.n_train, args.imgsz, 12, seed=0, rich=args.rich)
+    data = pregenerate(args.n_train, args.imgsz, 12, seed=0, rich=args.rich,
+                       mask_res=mask_res, store_u8=True)
     log.info("data ready in %.1fs", time.time() - t0)
 
     cfg = TrainConfig(
         imgsz=args.imgsz, variant=args.variant, lr=args.lr,
         total_steps=args.steps, warmup_steps=min(100, args.steps // 10),
-        max_instances=12,
+        max_instances=12, mask_topk=args.mask_topk,
     )
     trainer = Trainer(cfg)
     from ..train.phantoms import phantom_batch
 
     val = phantom_batch(args.batch, args.imgsz, 12,
-                        np.random.default_rng(555))
+                        np.random.default_rng(555), mask_res=mask_res,
+                        store_u8=True)
     metrics, ema_params = fit(
         trainer,
         batches_from(data, args.batch),
@@ -168,6 +179,7 @@ def main(argv=None):
         "meta": {
             "variant": args.variant, "imgsz": args.imgsz, "nc": 4,
             "steps": args.steps, "final_loss": float(metrics["loss"]),
+            "mask_res": mask_res, "mask_topk": args.mask_topk,
         },
     }
     with open(args.out, "wb") as fh:

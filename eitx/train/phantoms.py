@@ -119,12 +119,19 @@ def thorax_phantom_hu(
 
 
 def _instances_from_labels(
-    labels: np.ndarray, max_instances: int, proto_ds: int = 4
+    labels: np.ndarray, max_instances: int, mask_res: int = None
 ):
-    """Label image -> (boxes (I,4), classes (I,), masks (I,h/4,w/4), valid)."""
+    """Label image -> (boxes (I,4), classes (I,), masks (I,r,r), valid).
+
+    Mask targets are AREA-AVERAGED down to ``mask_res`` (default h/4, the
+    proto resolution) — soft [0,1] values instead of nearest subsampling,
+    so thin structures (rib cross-sections, the fat ring) always leave
+    signal in the target instead of aliasing away entirely."""
     from scipy import ndimage
 
     h, w = labels.shape
+    r = mask_res or h // 4
+    f = h // r
     out_boxes, out_cls, out_masks = [], [], []
     for cid in range(4):
         mask = labels == cid
@@ -141,14 +148,15 @@ def _instances_from_labels(
                 [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]
             )
             out_cls.append(cid)
-            out_masks.append(inst[::proto_ds, ::proto_ds].astype(np.float32))
+            soft = inst[: r * f, : r * f].reshape(r, f, r, f).mean((1, 3))
+            out_masks.append(soft.astype(np.float32))
     order = np.argsort(
         [-(b[2] - b[0]) * (b[3] - b[1]) for b in out_boxes]
     )[:max_instances]
     I = max_instances
     boxes = np.zeros((I, 4), np.float32)
     classes = np.zeros((I,), np.int32)
-    masks = np.zeros((I, h // proto_ds, w // proto_ds), np.float32)
+    masks = np.zeros((I, r, r), np.float32)
     valid = np.zeros((I,), bool)
     for j, k in enumerate(order):
         boxes[j] = out_boxes[k]
@@ -165,14 +173,24 @@ def phantom_batch(
     rng: np.random.Generator = None,
     return_labels: bool = False,
     rich: bool = False,
+    mask_res: int = None,
+    store_u8: bool = False,
 ) -> Dict[str, np.ndarray]:
-    """Training batch from HU phantoms pseudo-labeled on device."""
+    """Training batch from HU phantoms pseudo-labeled on device.
+
+    ``mask_res`` sets the mask-target resolution (default imgsz/4 = proto
+    res; imgsz/2 gives the higher-res supervision the trainer upsamples
+    the proto to). ``store_u8`` keeps images and soft masks quantized to
+    uint8 — 1/4 the host RAM and host->device bytes; the trainer
+    dequantizes inside the compiled step."""
     rng = rng or np.random.default_rng(0)
-    images = np.zeros((batch, imgsz, imgsz, 3), np.float32)
+    r = mask_res or imgsz // 4
+    im_dt = np.uint8 if store_u8 else np.float32
+    images = np.zeros((batch, imgsz, imgsz, 3), im_dt)
     I = max_instances
     boxes = np.zeros((batch, I, 4), np.float32)
     classes = np.zeros((batch, I), np.int32)
-    masks = np.zeros((batch, I, imgsz // 4, imgsz // 4), np.float32)
+    masks = np.zeros((batch, I, r, r), np.uint8 if store_u8 else np.float32)
     valid = np.zeros((batch, I), bool)
     label_imgs = np.zeros((batch, imgsz, imgsz), np.int32)
     for b in range(batch):
@@ -180,9 +198,12 @@ def phantom_batch(
         labels = pseudo_label_slice(hu, body)
         img = np.asarray(window_normalize(hu, 40.0, 400.0))[::-1, ::-1]
         labels = labels[::-1, ::-1]  # same rot180 as the windowed image
-        images[b] = np.repeat(img[..., None], 3, -1).astype(np.float32) / 255.0
-        boxes[b], classes[b], masks[b], valid[b] = _instances_from_labels(
-            labels, I
+        img3 = np.repeat(img[..., None], 3, -1)
+        images[b] = img3 if store_u8 else img3.astype(np.float32) / 255.0
+        bx, cl, mk, vl = _instances_from_labels(labels, I, mask_res=r)
+        boxes[b], classes[b], valid[b] = bx, cl, vl
+        masks[b] = (
+            np.round(mk * 255).astype(np.uint8) if store_u8 else mk
         )
         label_imgs[b] = labels
     out = {

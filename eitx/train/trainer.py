@@ -53,6 +53,13 @@ class TrainConfig:
     tal_topk: int = 10
     tal_alpha: float = 1.0
     tal_beta: float = 6.0
+    # mask loss over only the top-K positive anchors (static gather).
+    # 0 = legacy all-anchor path. K >= tal_topk * max_instances loses
+    # nothing (there can't be more positives), and the gather makes
+    # higher-than-proto-res mask supervision affordable: the target
+    # resolution is taken from batch["masks"] and the proto is bilinearly
+    # upsampled to it inside the loss when they differ.
+    mask_topk: int = 0
 
 
 @dataclass
@@ -194,6 +201,10 @@ class Trainer:
             # uint8 batches cross the host->device link at 1/4 the bytes;
             # normalization belongs inside the compiled step
             images = images.astype(jnp.float32) / 255.0
+        batch = dict(batch)
+        if batch["masks"].dtype == jnp.uint8:
+            # soft mask targets quantized to uint8 for the same reason
+            batch["masks"] = batch["masks"].astype(jnp.float32) / 255.0
         out, mutated = self.model.apply(
             {"params": params, "batch_stats": batch_stats},
             images,
@@ -299,12 +310,31 @@ class Trainer:
             # a quantity never used at test time (and without the box crop,
             # the all-background prior keeps mask logits below threshold).
             if cfg.segment:
-                pm = jnp.einsum("an,hwn->ahw", co, pr)  # (A, hp, wp)
-                tm = masks[tgt]  # (A, hp, wp)
-                ds = cfg.imgsz / pr.shape[0]  # proto downsample factor
-                bxp = tboxes / ds  # boxes in proto coords
-                xs_g = jnp.arange(pr.shape[1], dtype=pm.dtype)[None, None, :] + 0.5
-                ys_g = jnp.arange(pr.shape[0], dtype=pm.dtype)[None, :, None] + 0.5
+                T = masks.shape[1]  # mask supervision resolution
+                prm = pr
+                if T != pr.shape[0]:
+                    # bilinear commutes with the linear coef combination,
+                    # so upsampling the proto once == upsampling every
+                    # composed mask (the inference quality path's
+                    # compose_full semantics)
+                    prm = jax.image.resize(
+                        pr, (T, T, pr.shape[-1]), method="bilinear"
+                    )
+                if cfg.mask_topk > 0:
+                    K = min(cfg.mask_topk, co.shape[0])
+                    # keep the K best positives (soft = TAL quality; all
+                    # positives survive whenever K >= #positives)
+                    _, sel = jax.lax.top_k(jnp.where(pos, soft, -1.0), K)
+                    co_s, tgt_s = co[sel], tgt[sel]
+                    pos_s, tb_s = pos[sel], tboxes[sel]
+                else:
+                    co_s, tgt_s, pos_s, tb_s = co, tgt, pos, tboxes
+                pm = jnp.einsum("an,hwn->ahw", co_s, prm)  # (K, T, T)
+                tm = masks[tgt_s]  # (K, T, T)
+                ds = cfg.imgsz / T  # mask-grid downsample factor
+                bxp = tb_s / ds  # boxes in mask-grid coords
+                xs_g = jnp.arange(T, dtype=pm.dtype)[None, None, :] + 0.5
+                ys_g = jnp.arange(T, dtype=pm.dtype)[None, :, None] + 0.5
                 inside = (
                     (xs_g >= bxp[:, 0][:, None, None])
                     & (xs_g < bxp[:, 2][:, None, None])
@@ -315,7 +345,7 @@ class Trainer:
                 barea = jnp.clip(
                     (bxp[:, 2] - bxp[:, 0]) * (bxp[:, 3] - bxp[:, 1]), 1.0
                 )
-                l_mask = ((bce.sum((1, 2)) / barea) * pos).sum() / n_pos
+                l_mask = ((bce.sum((1, 2)) / barea) * pos_s).sum() / n_pos
             else:
                 l_mask = jnp.float32(0.0)
             return l_cls, l_box, l_dfl, l_mask
