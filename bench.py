@@ -42,6 +42,42 @@ def build_thorax_mesh(lc=7.0):
     return mesh
 
 
+def _xla_flops(jitted, *args, **static):
+    """FLOP count of a compiled XLA program (None if unavailable)."""
+    try:
+        ca = jitted.lower(*args, **static).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        f = ca.get("flops")
+        return float(f) if f else None
+    except Exception:
+        return None
+
+
+def _chip_peak_flops():
+    """(bf16_peak, f32_peak) FLOP/s for the attached chip.
+
+    Known public peaks; f32 is taken as bf16/4 (the MXU natively
+    multiplies bf16 — full-f32 matmuls run as multi-pass passes). The
+    assumption is encoded in the output keys so MFU numbers stay
+    re-derivable from the raw TFLOP/s also reported.
+    """
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    bf16 = None
+    for tag, peak in (
+        ("v5 lite", 197e12), ("v5e", 197e12), ("v5p", 459e12),
+        ("v6", 918e12), ("v4", 275e12), ("v3", 123e12),
+    ):
+        if tag in kind:
+            bf16 = peak
+            break
+    if bf16 is None:
+        bf16 = 197e12  # default: v5e-class
+    return bf16, bf16 / 4.0
+
+
 def bench_eit(mesh, frames=1200, repeats=3):
     import jax
     import jax.numpy as jnp
@@ -103,8 +139,50 @@ def bench_eit(mesh, frames=1200, repeats=3):
     solver.solve(big).block_until_ready()
     t0 = time.perf_counter()
     np.asarray(solver.solve(big).sum())
-    solve_only = big.shape[0] / (time.perf_counter() - t0)
-    return frames / best, info.node.shape[0], np.asarray(v), solve_only
+    t_solve_big = time.perf_counter() - t0
+    solve_only = big.shape[0] / t_solve_big
+
+    # --- MFU accounting (analytic-by-XLA: cost_analysis of the exact
+    # compiled programs, divided by measured phase time and chip peak) ---
+    from eitx.fem.spectral import (
+        _lowrank_setup,
+        _lowrank_solve,
+        _lung_subspace_indices,
+    )
+
+    lung = classes.name_to_id()["lung"]
+    a0 = float(np.mean(sigma[:, 2]))
+    idx, mask = _lung_subspace_indices(cs, lung, 256)
+    setup_args = (
+        cs.k_class, cs.diag_fix, cs.ref_node,
+        jnp.asarray(sigma[0], cs.k_class.dtype), lung,
+        jnp.asarray(idx), jnp.asarray(mask, cs.k_class.dtype),
+        jnp.asarray(el), jnp.asarray(proto.ex_mat),
+        jnp.float32(a0).astype(cs.k_class.dtype),
+    )
+    flops_setup = _xla_flops(_lowrank_setup, *setup_args)
+    flops_solve = _xla_flops(
+        _lowrank_solve, solver.s2, solver.u0, solver.yq, solver.zq,
+        big, jnp.asarray(a0, solver.s2.dtype), solver.meas_mat,
+    )
+    # setup-only wall time (median of 3; the build includes host-side
+    # lung-index prep, charged to the phase like any launch overhead)
+    t_setups = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        s = LowRankSpectralSolver.build(
+            cs, sigma[0], lung, el, proto.ex_mat, proto.meas_mat, a0,
+        )
+        s.s2.block_until_ready()
+        t_setups.append(time.perf_counter() - t0)
+    t_setup = float(np.median(t_setups))
+    mfu = {
+        "setup_flops": flops_setup,
+        "setup_seconds": round(t_setup, 4),
+        "solve_flops_12000_frames": flops_solve,
+        "solve_seconds_12000_frames": round(t_solve_big, 4),
+    }
+    return frames / best, info.node.shape[0], np.asarray(v), solve_only, mfu
 
 
 def bench_eit_oracle(mesh, frames=7):
@@ -176,7 +254,37 @@ def bench_segmentation(batch=128, imgsz=512, repeats=5):
         jax.device_put(imgs).block_until_ready()
         xfer.append(time.perf_counter() - t0)
     link_mbps = imgs.nbytes / 1e6 / min(xfer)
-    return batch / min(e2e), batch / min(dev), link_mbps
+    flops = _xla_flops(fn, x_dev)
+    mfu = {
+        "seg_flops_per_batch": flops,
+        "seg_device_seconds_per_batch": round(min(dev), 4),
+    }
+    return batch / min(e2e), batch / min(dev), link_mbps, mfu
+
+
+def bench_eit_batch(n_subjects=8, frames=1200):
+    """Batched same-bucket subject generation: ONE vmapped Cholesky+eigh
+    setup for all subjects (LowRankSpectralSolver.build_batch via
+    simulate_eit_monitoring_subjects), the steady-state dataset-factory
+    rate — what pipeline/batch.py ships per request batch.
+
+    Returns (frames_per_sec_incl_setup, subjects_per_hour).
+    """
+    from eitx.core.config import SimulationConfig
+    from eitx.fem.forward import simulate_eit_monitoring_subjects
+
+    rng = np.random.default_rng(0)
+    meshes = []
+    for _ in range(n_subjects):
+        j = 1.0 + rng.uniform(-0.04, 0.04)
+        meshes.append(build_thorax_mesh(lc=7.0 * j))
+    cfg = SimulationConfig(n_points=frames, n_spir=1, n_minutes=1)
+    simulate_eit_monitoring_subjects(meshes, cfg)  # compile warmup
+    t0 = time.perf_counter()
+    out = simulate_eit_monitoring_subjects(meshes, cfg)
+    dt = time.perf_counter() - t0
+    assert all(np.isfinite(v).all() for v, _ in out)
+    return n_subjects * frames / dt, n_subjects * 3600.0 / dt
 
 
 def main():
@@ -185,7 +293,7 @@ def main():
     enable_compilation_cache()
     t_start = time.time()
     mesh = build_thorax_mesh()
-    frames_per_sec, n_nodes, v, solve_only_fps = bench_eit(mesh)
+    frames_per_sec, n_nodes, v, solve_only_fps, eit_mfu = bench_eit(mesh)
     oracle_fps = bench_eit_oracle(mesh)
     # Credit the reference's multiprocessing pool at its DOCUMENTED min
     # spec (8-core x86, README.en.md:28-32) even when this host has fewer
@@ -193,10 +301,34 @@ def main():
     baseline_cores = max(8, os.cpu_count() or 1)
     baseline = oracle_fps * baseline_cores
     try:
-        seg_fps, seg_dev_fps, link_mbps = bench_segmentation()
+        batch_fps, subjects_per_hour = bench_eit_batch()
+    except Exception as e:  # batched bench is best-effort
+        print(f"batched-subject bench skipped: {e}", file=sys.stderr)
+        batch_fps, subjects_per_hour = None, None
+    try:
+        seg_fps, seg_dev_fps, link_mbps, seg_mfu = bench_segmentation()
     except Exception as e:  # segmentation bench is best-effort
         print(f"segmentation bench skipped: {e}", file=sys.stderr)
-        seg_fps, seg_dev_fps, link_mbps = None, None, None
+        seg_fps, seg_dev_fps, link_mbps, seg_mfu = None, None, None, {}
+
+    bf16_peak, f32_peak = _chip_peak_flops()
+
+    def _tflops(flops, seconds):
+        if not flops or not seconds:
+            return None
+        return flops / seconds / 1e12
+
+    setup_tf = _tflops(
+        eit_mfu.get("setup_flops"), eit_mfu.get("setup_seconds")
+    )
+    solve_tf = _tflops(
+        eit_mfu.get("solve_flops_12000_frames"),
+        eit_mfu.get("solve_seconds_12000_frames"),
+    )
+    seg_tf = _tflops(
+        seg_mfu.get("seg_flops_per_batch"),
+        seg_mfu.get("seg_device_seconds_per_batch"),
+    )
     out = {
         "metric": "eit_forward_frames_per_sec",
         "value": round(frames_per_sec, 1),
@@ -220,6 +352,35 @@ def main():
         ),
         "segmentation_link_ceiling_slices_per_sec": (
             round(link_mbps * 1e6 / (512 * 512), 1) if link_mbps else None
+        ),
+        # batched same-bucket generation (one vmapped setup for 8 subjects)
+        "batched_frames_per_sec_incl_setup": (
+            round(batch_fps, 1) if batch_fps else None
+        ),
+        "batched_subjects_per_hour": (
+            round(subjects_per_hour, 1) if subjects_per_hour else None
+        ),
+        # MFU: XLA cost_analysis FLOPs of the exact compiled programs /
+        # measured phase seconds / chip peak. f32 peak assumed bf16/4
+        # (multi-pass f32 matmul on the MXU); raw TFLOP/s reported so the
+        # numbers re-derive under any other peak assumption.
+        "chip_peak_bf16_tflops": round(bf16_peak / 1e12, 1),
+        "mfu_assumed_f32_peak_tflops": round(f32_peak / 1e12, 1),
+        "eit_setup_achieved_tflops": (
+            round(setup_tf, 3) if setup_tf else None
+        ),
+        "mfu_eit_setup": (
+            round(setup_tf * 1e12 / f32_peak, 4) if setup_tf else None
+        ),
+        "eit_solve_achieved_tflops": (
+            round(solve_tf, 3) if solve_tf else None
+        ),
+        "mfu_eit_solve": (
+            round(solve_tf * 1e12 / f32_peak, 4) if solve_tf else None
+        ),
+        "seg_achieved_tflops": round(seg_tf, 2) if seg_tf else None,
+        "mfu_segmentation": (
+            round(seg_tf * 1e12 / bf16_peak, 4) if seg_tf else None
         ),
         "bench_wall_s": round(time.time() - t_start, 1),
     }

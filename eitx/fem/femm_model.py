@@ -232,6 +232,13 @@ def write_fec(
     geometry as numbered points/segments and one block label per closed
     region. Text (not FEMM's binary-float) so the file round-trips through
     load_fec; section names follow FEMM's bracketed-key layout.
+
+    NOTE: this is a FEMM-STYLE interchange format, not FEMM-validated —
+    no FEMM-written .fec exists in this environment (or the reference
+    repo) to diff against, so fidelity is guaranteed only as
+    write_fec -> load_fec round-trip plus the layout conventions above.
+    Treat files as eitx's model-exchange format that FEMM users will find
+    familiar, not as a byte-compatible FEMM artifact.
     """
     n_elec = elecs.shape[0]
     inj = 0 if projection == n_elec - 1 else projection + 1

@@ -227,30 +227,54 @@ class YoloRunner:
             for k in range(0, arr.shape[0], chunk):
                 x = jax.device_put(arr[k : k + chunk])  # async h2d
                 pieces_dev.append(fn(x))  # async dispatch
+        for o in pieces_dev:
+            # start EVERY chunk's device->host copy before consuming any:
+            # on relay links the d2h RPC is driven while the host is busy
+            # upsampling earlier chunks, instead of serializing behind it
+            try:
+                o.copy_to_host_async()
+            except AttributeError:  # non-jax array (tests/mocks)
+                pass
         out = np.empty((b, h, w), np.int32)
         done = 0
         for o in pieces_dev:
             coarse = np.asarray(o)  # blocks for THIS chunk only
             n = min(coarse.shape[0], b - done)
-            out[done : done + n] = self._upsample_labels(
-                coarse[:n], h, w, q=1 if compose_full else 4
+            self._upsample_labels_into(
+                out[done : done + n], coarse[:n],
+                q=1 if compose_full else 4,
             )
             done += n
         return out
 
-    def _upsample_labels(self, coarse: np.ndarray, h: int, w: int, q: int = 4):
-        """Un-letterbox + nearest upsample labels at stride ``q`` to (h, w)."""
+    def _upsample_labels_into(
+        self, out: np.ndarray, coarse: np.ndarray, q: int = 4
+    ):
+        """Un-letterbox + nearest-upsample labels at stride ``q`` directly
+        into ``out`` (B, h, w). The integer-scale fast path is a SINGLE
+        broadcast write (reshape view of out), with the int8->int32 cast
+        fused — chained .repeat() would materialize an intermediate and
+        make two passes, and this host work races the d2h RPC pump for
+        the one CPU core on relay-attached chips."""
+        n, h, w = out.shape
         scale, pad_x, pad_y = letterbox_params(h, w, self.imgsz)
         nh, nw = int(round(h * scale)), int(round(w * scale))
         coarse = coarse[:, pad_y // q : (pad_y + nh) // q,
                         pad_x // q : (pad_x + nw) // q]
         ch, cw = coarse.shape[1], coarse.shape[2]
         if h == ch * q and w == cw * q:
-            # exact integer scale: repeat is one pass over the output
-            return coarse.repeat(q, axis=1).repeat(q, axis=2)
+            view = out.reshape(n, ch, q, cw, q)
+            view[:] = coarse[:, :, None, :, None]
+            return
         yy = np.minimum((np.arange(h) * ch // h), ch - 1)
         xx = np.minimum((np.arange(w) * cw // w), cw - 1)
-        return coarse[:, yy][:, :, xx]
+        out[:] = coarse[:, yy][:, :, xx]
+
+    def _upsample_labels(self, coarse: np.ndarray, h: int, w: int, q: int = 4):
+        """Un-letterbox + nearest upsample labels at stride ``q`` to (h, w)."""
+        out = np.empty((coarse.shape[0], h, w), np.int32)
+        self._upsample_labels_into(out, coarse, q)
+        return out
 
     def detect(self, images: np.ndarray) -> Detections:
         """uint8 (B, H, W[, 3]) -> Detections in ORIGINAL image coords."""

@@ -32,8 +32,18 @@ def _box_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 def evaluate_checkpoint(
     ckpt_path: str, imgsz: int, variant: str, n_eval: int = 16,
-    seed: int = 991,
+    seed: int = 991, hard: bool = False, n_negatives: int = 0,
 ) -> dict:
+    """Held-out detection + end-to-end slice-selection evaluation.
+
+    ``hard=True`` evaluates on the widened distribution (variable rib
+    count/spacing/tilt, low contrast, dropped ribs — a distribution the
+    model was NOT trained on, so the metric can fail). ``n_negatives``
+    adds no-rib images where every detection counts as a false positive.
+    The slice-selection check is scored as a pixel-error histogram of the
+    predicted between-ribs-6-and-7 row vs the row computed from ground-
+    truth boxes through the SAME reference rule (utils.py:260-264).
+    """
     from ..models.yolo.infer import RibsDetector
     from ..select import select_axial_slice_number
     from ..train.phantoms import frontal_rib_phantom
@@ -42,17 +52,26 @@ def evaluate_checkpoint(
                        max_det=32)
     rng = np.random.default_rng(seed)
     tp = fp = fn = 0
-    select_ok = 0
-    for _ in range(n_eval):
-        img, gt = frontal_rib_phantom(rng, imgsz)
+    neg_fp = 0
+    slice_errors = []
+    slice_failures = 0  # GT selectable but prediction was not (or off)
+    slice_cases = 0
+    for i in range(n_eval + n_negatives):
+        negative = i >= n_eval
+        img, gt = frontal_rib_phantom(
+            rng, imgsz, n_pairs=0 if negative else None, hard=hard
+        )
         d = det.predict(img)
         pred = d.boxes[d.valid]
+        if negative:
+            neg_fp += pred.shape[0]
+            continue
         if pred.shape[0] and gt.shape[0]:
             iou = _box_iou(pred, gt)
             matched_gt = set()
-            for i in np.argsort(-d.scores[d.valid]):
-                j = int(np.argmax(iou[i]))
-                if iou[i, j] >= 0.5 and j not in matched_gt:
+            for k in np.argsort(-d.scores[d.valid]):
+                j = int(np.argmax(iou[k]))
+                if iou[k, j] >= 0.5 and j not in matched_gt:
                     matched_gt.add(j)
                     tp += 1
                 else:
@@ -61,25 +80,47 @@ def evaluate_checkpoint(
         else:
             fp += pred.shape[0]
             fn += gt.shape[0]
-        # end-to-end slice selection sanity: with >= 7 right-side ribs the
-        # selected row must land between sorted ribs 6 and 7
+        # end-to-end: predicted selection row vs the row the reference
+        # rule yields on the ground-truth boxes
         try:
-            numbers = select_axial_slice_number(
-                pred, 0, image_width=imgsz
-            )
-            right = pred[pred[:, 0] > imgsz / 2]
-            ys = np.sort(right[:, 1])
-            if len(ys) >= 7 and ys[5] <= numbers[-1] <= ys[6] + 1:
-                select_ok += 1
+            gt_sel = select_axial_slice_number(gt, 0, image_width=imgsz)
         except Exception:
-            pass
+            continue  # fewer than 7 right-side GT ribs: no defined target
+        slice_cases += 1
+        try:
+            pred_sel = select_axial_slice_number(pred, 0, image_width=imgsz)
+            slice_errors.append(abs(pred_sel[-1] - gt_sel[-1]))
+        except Exception:
+            slice_failures += 1
     recall = tp / max(tp + fn, 1)
     precision = tp / max(tp + fp, 1)
-    return {
+    errs = np.asarray(slice_errors, np.float64)
+    hist_edges = [0, 2, 5, 10, 20, 50, np.inf]
+    hist = {
+        f"<={hist_edges[k + 1]}px": int(
+            ((errs > hist_edges[k]) & (errs <= hist_edges[k + 1])).sum()
+            + (k == 0) * (errs == 0).sum()
+        )
+        for k in range(len(hist_edges) - 1)
+    }
+    out = {
+        "distribution": "hard" if hard else "train-like",
         "rib_recall@0.5": round(recall, 4),
         "rib_precision@0.5": round(precision, 4),
-        "slice_selection_ok": f"{select_ok}/{n_eval}",
+        "slice_cases": slice_cases,
+        "slice_selection_failures": slice_failures,
+        "slice_error_median_px": (
+            round(float(np.median(errs)), 1) if errs.size else None
+        ),
+        "slice_error_max_px": (
+            round(float(errs.max()), 1) if errs.size else None
+        ),
+        "slice_error_hist_px": hist,
     }
+    if n_negatives:
+        out["negatives"] = n_negatives
+        out["negative_false_positives"] = int(neg_fp)
+    return out
 
 
 def main(argv=None):
@@ -93,6 +134,9 @@ def main(argv=None):
     p.add_argument("--out", default="weights/ribs_n_640.msgpack")
     p.add_argument("--eval-n", type=int, default=16)
     p.add_argument("--report", default=None)
+    p.add_argument("--hard-frac", type=float, default=0.0,
+                   help="fraction of training phantoms drawn from the "
+                        "widened (hard) distribution")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     log = logging.getLogger("eitx.train_ribs")
@@ -108,7 +152,8 @@ def main(argv=None):
     t0 = time.time()
     log.info("pregenerating %d frontal phantoms...", args.n_train)
     rng = np.random.default_rng(0)
-    data = rib_batch(args.n_train, args.imgsz, 24, rng)
+    data = rib_batch(args.n_train, args.imgsz, 24, rng,
+                     hard_frac=args.hard_frac)
     log.info("data ready in %.1fs", time.time() - t0)
 
     cfg = TrainConfig(
@@ -137,6 +182,7 @@ def main(argv=None):
         "meta": {
             "variant": args.variant, "imgsz": args.imgsz, "nc": 1,
             "steps": args.steps, "final_loss": float(metrics["loss"]),
+            "hard_frac": args.hard_frac,
         },
     }
     with open(args.out, "wb") as fh:
@@ -145,6 +191,10 @@ def main(argv=None):
 
     report = evaluate_checkpoint(
         args.out, args.imgsz, args.variant, n_eval=args.eval_n
+    )
+    report["hard_distribution_eval"] = evaluate_checkpoint(
+        args.out, args.imgsz, args.variant, n_eval=max(32, args.eval_n),
+        hard=True, n_negatives=8,
     )
     report["final_train_metrics"] = {
         k: round(v, 4) for k, v in metrics.items()

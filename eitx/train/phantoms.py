@@ -230,7 +230,8 @@ def phantom_data_iter(
 
 
 def frontal_rib_phantom(
-    rng: np.random.Generator, s: int = 640, n_pairs: int = None
+    rng: np.random.Generator, s: int = 640, n_pairs: int = None,
+    hard: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Synthetic frontal (coronal) CT view with rib bands.
 
@@ -239,9 +240,17 @@ def frontal_rib_phantom(
     a torso band, a bright spine column, darker lung fields, and N rib
     pairs as tilted bright bands. Returns (image (s, s) uint8,
     boxes (2*N, 4) xyxy float32) — one box per rib instance.
+
+    ``hard=True`` widens the distribution so the evaluation CAN fail:
+    4-12 rib pairs, per-rib pitch jitter and dropped ribs (partial
+    visibility), stronger tilts, low-contrast ribs (+25..+85 vs the
+    fixed +85), noisier background. ``n_pairs=0`` produces a no-rib
+    negative (empty box list).
     """
-    n_pairs = n_pairs or int(rng.integers(8, 11))
-    img = rng.normal(18, 6, (s, s)).astype(np.float32)
+    if n_pairs is None:
+        n_pairs = int(rng.integers(4, 13) if hard else rng.integers(8, 11))
+    noise = rng.uniform(5, 14) if hard else 6.0
+    img = rng.normal(18, noise, (s, s)).astype(np.float32)
     yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
     cx = s / 2 + rng.uniform(-s * 0.03, s * 0.03)
     half_w = s * rng.uniform(0.30, 0.38)
@@ -258,18 +267,27 @@ def frontal_rib_phantom(
     img[spine] += 70
     boxes = []
     y0 = s * rng.uniform(0.10, 0.16)
-    pitch = s * rng.uniform(0.055, 0.075)
+    pitch = s * rng.uniform(0.04, 0.09) if hard else s * rng.uniform(
+        0.055, 0.075
+    )
+    contrast = rng.uniform(25, 85) if hard else 85.0
+    drop_p = rng.uniform(0.0, 0.15) if hard else 0.0
+    cy = y0
     for k in range(n_pairs):
-        cy = y0 + k * pitch
+        if k:
+            cy += pitch * (rng.uniform(0.8, 1.25) if hard else 1.0)
         if cy > s * 0.9:
             break
         for side in (-1, 1):
+            if drop_p and rng.random() < drop_p:
+                continue  # partially visible cage: this rib is missing
             bx = cx + side * half_w * rng.uniform(0.45, 0.62)
-            tilt = side * rng.uniform(0.12, 0.3)
+            tilt = side * (rng.uniform(0.05, 0.45) if hard
+                           else rng.uniform(0.12, 0.3))
             rx = half_w * rng.uniform(0.30, 0.42)
             ry = s * rng.uniform(0.008, 0.014)
             band = _ellipse(xx, yy, bx, cy, rx, ry, tilt)
-            img[band] += 85
+            img[band] += contrast
             ys, xs = np.nonzero(band)
             if ys.size < 8:
                 continue
@@ -277,7 +295,11 @@ def frontal_rib_phantom(
     img = np.clip(img, 0, 255)
     # min-max normalize like the pipeline's frontal slice
     img = (img - img.min()) / max(img.max() - img.min(), 1e-6) * 255.0
-    return img.astype(np.uint8), np.asarray(boxes, np.float32)
+    out_boxes = (
+        np.asarray(boxes, np.float32) if boxes
+        else np.zeros((0, 4), np.float32)
+    )
+    return img.astype(np.uint8), out_boxes
 
 
 def rib_batch(
@@ -286,12 +308,15 @@ def rib_batch(
     max_instances: int = 24,
     rng: np.random.Generator = None,
     return_boxes: bool = False,
+    hard_frac: float = 0.0,
 ) -> Dict[str, np.ndarray]:
     """Detect-only training batch for the rib model (class 0 = rib).
 
     Images stay uint8 (the trainer normalizes inside the jit — a 640^2 f32
     batch costs 4x the host->device bytes for nothing) and the unused mask
-    targets are 1x1 placeholders (segment=False never reads them)."""
+    targets are 1x1 placeholders (segment=False never reads them).
+    ``hard_frac`` draws that fraction of samples from the widened (hard)
+    distribution — mixed training for distribution-shift robustness."""
     rng = rng or np.random.default_rng(0)
     I = max_instances
     images = np.zeros((batch, imgsz, imgsz, 3), np.uint8)
@@ -301,7 +326,9 @@ def rib_batch(
     valid = np.zeros((batch, I), bool)
     raw_boxes = []
     for b in range(batch):
-        img, bx = frontal_rib_phantom(rng, imgsz)
+        img, bx = frontal_rib_phantom(
+            rng, imgsz, hard=bool(rng.random() < hard_frac)
+        )
         images[b] = np.repeat(img[..., None], 3, -1)
         n = min(bx.shape[0], I)
         boxes[b, :n] = bx[:n]

@@ -177,3 +177,26 @@ def test_rich_phantom_distribution():
     h1, _ = thorax_phantom_hu(np.random.default_rng(5), 96)
     h2, _ = thorax_phantom_hu(np.random.default_rng(5), 96, rich=False)
     assert np.array_equal(h1, h2)
+
+
+def test_hard_rib_phantom_distribution():
+    """hard=True widens the rib phantom distribution (variable count/
+    contrast, dropped ribs) and n_pairs=0 yields a clean negative;
+    hard=False stays bit-identical for committed-report reproducibility."""
+    from eitx.train.phantoms import frontal_rib_phantom
+
+    img, gt = frontal_rib_phantom(np.random.default_rng(3), 320, hard=True)
+    assert img.shape == (320, 320) and img.dtype == np.uint8
+    assert gt.ndim == 2 and gt.shape[1] == 4
+    neg_img, neg_gt = frontal_rib_phantom(
+        np.random.default_rng(4), 320, n_pairs=0, hard=True
+    )
+    assert neg_gt.shape == (0, 4)
+    a1, b1 = frontal_rib_phantom(np.random.default_rng(9), 320)
+    a2, b2 = frontal_rib_phantom(np.random.default_rng(9), 320, hard=False)
+    assert np.array_equal(a1, a2) and np.array_equal(b1, b2)
+    # rib counts actually vary across hard draws
+    rng = np.random.default_rng(10)
+    counts = {frontal_rib_phantom(rng, 320, hard=True)[1].shape[0]
+              for _ in range(6)}
+    assert len(counts) >= 3
