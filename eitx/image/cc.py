@@ -12,28 +12,50 @@ vmap.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 
-def _neighbor_max(lab: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """3x3 max of labels over foreground (8-connectivity)."""
+def _neighbor_max(
+    lab: jnp.ndarray, mask: jnp.ndarray, connectivity: int = 8
+) -> jnp.ndarray:
+    """Neighbourhood max of labels over foreground (8- or 4-connected)."""
     nd = lab.ndim
-    window = (1,) * (nd - 2) + (3, 3)
     strides = (1,) * nd
-    padding = ((0, 0),) * (nd - 2) + (((1, 1),) * 2)
-    m = jax.lax.reduce_window(
-        lab, jnp.int32(-1), jax.lax.max, window, strides, padding
-    )
+    if connectivity == 8:
+        window = (1,) * (nd - 2) + (3, 3)
+        padding = ((0, 0),) * (nd - 2) + (((1, 1),) * 2)
+        m = jax.lax.reduce_window(
+            lab, jnp.int32(-1), jax.lax.max, window, strides, padding
+        )
+    else:  # 4-connected: plus-shaped neighbourhood via two 1-D windows
+        m = jnp.maximum(
+            jax.lax.reduce_window(
+                lab, jnp.int32(-1), jax.lax.max,
+                (1,) * (nd - 2) + (1, 3), strides,
+                ((0, 0),) * (nd - 2) + ((0, 0), (1, 1)),
+            ),
+            jax.lax.reduce_window(
+                lab, jnp.int32(-1), jax.lax.max,
+                (1,) * (nd - 2) + (3, 1), strides,
+                ((0, 0),) * (nd - 2) + ((1, 1), (0, 0)),
+            ),
+        )
     return jnp.where(mask, m, -1)
 
 
-@jax.jit
-def label_components(mask: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("connectivity",))
+def label_components(
+    mask: jnp.ndarray, connectivity: int = 8
+) -> jnp.ndarray:
     """(H, W) bool -> (H, W) int32 labels (-1 background).
 
     Labels are root flat-indices: two pixels share a component iff their
-    labels match. 8-connectivity, like cv2.findContours/scipy default.
+    labels match. 8-connectivity by default (cv2.findContours semantics);
+    ``connectivity=4`` matches scipy.ndimage.label's default (the
+    reference's clear_color_output pass, utils.py:721).
     """
     mask = jnp.asarray(mask, bool)
     h, w = mask.shape[-2], mask.shape[-1]
@@ -49,7 +71,7 @@ def label_components(mask: jnp.ndarray) -> jnp.ndarray:
 
     def body(state):
         lab, _ = state
-        new = _neighbor_max(lab, mask)
+        new = _neighbor_max(lab, mask, connectivity)
         new = jump(jump(new))
         return new, jnp.any(new != lab)
 

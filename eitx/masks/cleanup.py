@@ -40,25 +40,119 @@ def _window_count(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _relabel_small(labels, fg, exclude_classes, min_size, fallback=MUSCLE):
+def _external_mask(fg: jnp.ndarray) -> jnp.ndarray:
+    """Pixels of components reachable from the image border — i.e. the
+    components cv2.findContours(RETR_EXTERNAL) would return.
+
+    A component nested inside a HOLE of another component is invisible to
+    RETR_EXTERNAL; the reference's highlight_small_masks therefore never
+    cleans fat/muscle specks enclosed by the anatomical fat/muscle rings
+    (utils.py:803). Background floods 4-connected from the border
+    (duality with 8-connected foreground), then external components are
+    those 8-adjacent to the reached background."""
+    bg = ~fg
+    border = jnp.zeros_like(fg).at[0, :].set(True).at[-1, :].set(True)
+    border = border.at[:, 0].set(True).at[:, -1].set(True)
+    reach = bg & border
+
+    def grow4(x):
+        return jax.lax.reduce_window(
+            x, False, jax.lax.bitwise_or, (1, 3), (1, 1),
+            ((0, 0), (1, 1)),
+        ) | jax.lax.reduce_window(
+            x, False, jax.lax.bitwise_or, (3, 1), (1, 1),
+            ((1, 1), (0, 0)),
+        )
+
+    def body(state):
+        reach, _ = state
+        new = grow4(reach) & bg
+        return new, jnp.any(new != reach)
+
+    reach, _ = jax.lax.while_loop(lambda s: s[1], body, (reach, jnp.bool_(True)))
+    # seed: foreground 8-adjacent to reached background (or on the border)
+    touch = jax.lax.reduce_window(
+        reach | border, False, jax.lax.bitwise_or, (3, 3), (1, 1),
+        ((1, 1), (1, 1)),
+    ) & fg
+
+    # propagate the seed through whole components (8-connected)
+    def body2(state):
+        ext, _ = state
+        new = jax.lax.reduce_window(
+            ext, False, jax.lax.bitwise_or, (3, 3), (1, 1),
+            ((1, 1), (1, 1)),
+        ) & fg
+        return new, jnp.any(new != ext)
+
+    ext, _ = jax.lax.while_loop(lambda s: s[1], body2, (touch, jnp.bool_(True)))
+    return ext
+
+
+def _relabel_small(
+    labels, fg, exclude_classes, min_size, fallback=MUSCLE,
+    self_votes: bool = False, connectivity: int = 8,
+    rect_quirk: bool = False, rect_cap: int = 64,
+):
     """Relabel components of ``fg`` smaller than min_size to the majority
     3x3-neighbourhood class, excluding ``exclude_classes`` from the vote;
-    fall back to ``fallback`` when no votes."""
+    fall back to ``fallback`` when no votes.
+
+    ``self_votes=True`` reproduces the reference's clear_color_output
+    vote exactly (utils.py:726-750): every pixel of the small component
+    scans its 8 neighbours and counts ANY non-excluded pixel — including
+    other pixels of the SAME component — so a 2+px component always
+    out-votes its surroundings with its own colour and survives; only
+    isolated 1-px specks (no non-excluded neighbours at all) fall back.
+    ``self_votes=False`` is the saner variant used for the per-class
+    tiny-region pass, where the component's own class is excluded anyway.
+    """
     h, w = labels.shape
-    comp = label_components(fg)  # (H, W) flat root ids, -1 outside
+    comp = label_components(fg, connectivity=connectivity)
     flat_comp = comp.reshape(-1)
     ones = (flat_comp >= 0).astype(jnp.int32)
     sizes = jnp.zeros((h * w,), jnp.int32).at[jnp.maximum(flat_comp, 0)].add(ones)
     small = fg & (sizes[jnp.maximum(comp, 0)] < min_size)
+    if rect_quirk:
+        # cv2 CHAIN_APPROX_SIMPLE stores only run endpoints, so a filled
+        # RECTANGLE has a <=4-point contour and the reference's
+        # len(cnt) <= 5 rule fires on it at any size (utils.py:806-808).
+        # Reproduce for bbox-filling components up to ``rect_cap`` px —
+        # beyond that the quirk is a clear reference bug (it would erase
+        # arbitrarily large rectangular regions) and is not copied.
+        safe = jnp.maximum(flat_comp, 0)
+        yy = jnp.repeat(jnp.arange(h, dtype=jnp.int32), w)
+        xx = jnp.tile(jnp.arange(w, dtype=jnp.int32), h)
+        big = jnp.int32(1 << 30)
+        off = jnp.where(flat_comp >= 0, 0, big)
+        ymin = jnp.full((h * w,), big, jnp.int32).at[safe].min(yy + off)
+        xmin = jnp.full((h * w,), big, jnp.int32).at[safe].min(xx + off)
+        ymax = jnp.full((h * w,), -1, jnp.int32).at[safe].max(
+            jnp.where(flat_comp >= 0, yy, -1)
+        )
+        xmax = jnp.full((h * w,), -1, jnp.int32).at[safe].max(
+            jnp.where(flat_comp >= 0, xx, -1)
+        )
+        bbox = (ymax - ymin + 1) * (xmax - xmin + 1)
+        rect = (bbox == sizes) & (sizes <= rect_cap)
+        small = small | (fg & rect[jnp.maximum(comp, 0)])
 
-    # per-pixel neighbour votes per class (large-region pixels only vote)
+    # per-pixel neighbour votes per class
     votes = []
     for c in range(N_CLASSES):
         if c in exclude_classes:
             votes.append(jnp.zeros((h, w), jnp.int32))
         else:
-            src = ((labels == c) & ~small).astype(jnp.int32)
-            votes.append(_window_count(src))
+            src_mask = (labels == c) if self_votes else (
+                (labels == c) & ~small
+            )
+            src = src_mask.astype(jnp.int32)
+            counts = _window_count(src)
+            if self_votes:
+                # the reference scans the 8 NEIGHBOURS of each pixel —
+                # the 3x3 window includes the centre, so subtract it
+                counts = counts - src
+            votes.append(counts)
     votes = jnp.stack(votes, axis=-1)  # (H, W, C)
 
     # aggregate votes per component
@@ -92,18 +186,32 @@ def cleanup_labels(
         in_body = jnp.asarray(body_mask) > 0
         # 1. unlabeled inside the body -> muscle
         labels = jnp.where((labels < 0) & in_body, MUSCLE, labels)
-        # 2. small non-muscle components -> majority neighbour
+        # 2. small non-muscle components -> majority neighbour, with the
+        # reference's exact vote (self-votes included, 4-connected
+        # components like scipy.ndimage.label): in effect only isolated
+        # 1-px specks become muscle; larger specks keep their colour and
+        # are left for the per-class pass below
         fg = (labels >= 0) & (labels != MUSCLE)
         labels = _relabel_small(
-            labels, fg, exclude_classes=(MUSCLE,), min_size=min_component
+            labels, fg, exclude_classes=(MUSCLE,), min_size=min_component,
+            self_votes=True, connectivity=4,
         )
 
-    # 3. per-class tiny regions -> most common neighbour class
+    # 3. per-class tiny regions -> most common neighbour class.
+    # The reference's highlight_small_masks keys are bone, muscle, fat and
+    # AIR (utils.py:781-786) — lung is deliberately NOT cleaned, and the
+    # air class does not exist in the 4-class palette, so the effective
+    # set here is {bone, muscles, fat} (golden-tested against a faithful
+    # re-implementation of the reference chain in tests/test_cv2_golden).
     out = labels
-    for c in range(4):  # bone, muscles, lung, fat (reference's four keys)
-        fg = out == c
+    for c in (0, 1, 3):  # bone, muscles, fat
+        # RETR_EXTERNAL quirk: only components visible to the reference's
+        # external-contour scan are candidates (specks enclosed inside a
+        # same-class ring are never cleaned)
+        fg = (out == c) & _external_mask(out == c)
         # reference keeps the original class when no valid neighbours
         out = _relabel_small(
-            out, fg, exclude_classes=(c,), min_size=tiny_area + 1, fallback=c
+            out, fg, exclude_classes=(c,), min_size=tiny_area + 1,
+            fallback=c, rect_quirk=True,
         )
     return out

@@ -261,3 +261,157 @@ def test_approx_poly_dp_functional_parity_with_cv2():
             )
             checked += 1
     assert checked >= 10  # the battery must actually exercise the test
+
+
+# ------------------------------------------------------- mask cleanup chain
+# Reference-faithful re-implementation of clear_color_output
+# (utils.py:691-755) + highlight_small_masks (utils.py:758-843), run on
+# BGR images exactly as the reference does (scipy 4-connected labeling,
+# self-inclusive neighbour votes, cv2 contours), used as the oracle for
+# eitx's one-device-program cleanup_labels.
+
+def _oracle_clear(body_mask, bgr, tolerance=5, min_polygon_size=5):
+    from collections import Counter
+
+    from scipy.ndimage import label as splabel
+
+    out = bgr.copy()
+    h, w = out.shape[:2]
+    is_black = np.all(np.abs(bgr.astype(np.int16) - [0, 0, 0]) <= tolerance,
+                      axis=2)
+    out[is_black & (body_mask == 255)] = [0, 0, 255]
+    bgs = [np.array([0, 0, 0], np.uint8), np.array([0, 0, 255], np.uint8)]
+    is_bg = np.zeros((h, w), bool)
+    for c in bgs:
+        is_bg |= np.all(out == c, axis=2)
+    labeled, n = splabel(~is_bg)  # scipy default: 4-connectivity
+    for li in range(1, n + 1):
+        pm = labeled == li
+        if pm.sum() >= min_polygon_size:
+            continue
+        y, x = np.where(pm)
+        neighbors = []
+        for dy, dx in [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
+                       (1, -1), (1, 0), (1, 1)]:
+            ny, nx = y + dy, x + dx
+            ok = (ny >= 0) & (ny < h) & (nx >= 0) & (nx < w)
+            for color in out[ny[ok], nx[ok]]:
+                if not any(np.array_equal(color, bg) for bg in bgs):
+                    neighbors.append(tuple(color))
+        if neighbors:
+            out[pm] = Counter(neighbors).most_common(1)[0][0]
+        else:
+            out[pm] = [0, 0, 255]
+    return out
+
+
+def _oracle_highlight(image, area_threshold=5):
+    from collections import Counter
+
+    mask_colors = {
+        "bone": (255, 255, 255),
+        "muscle": (0, 0, 255),
+        "fat": (0, 255, 255),
+        "air": (0, 150, 255),
+    }
+    output = image.copy()
+    for tissue, tc in mask_colors.items():
+        lower = np.clip(np.array(tc, np.int16) - 10, 0, 255).astype(np.uint8)
+        upper = np.clip(np.array(tc, np.int16) + 10, 0, 255).astype(np.uint8)
+        mask = cv2.inRange(image, lower, upper)
+        cnts, _ = cv2.findContours(mask, cv2.RETR_EXTERNAL,
+                                   cv2.CHAIN_APPROX_SIMPLE)
+        for cnt in cnts:
+            if len(cnt) > area_threshold:
+                continue
+            cm = np.zeros(image.shape[:2], np.uint8)
+            cv2.drawContours(cm, [cnt], -1, 255, cv2.FILLED)
+            dil = cv2.dilate(cm, np.ones((3, 3), np.uint8), iterations=1)
+            ring = dil - cm
+            ncs = [tuple(c) for c in output[ring == 255]
+                   if not np.array_equal(c, tc)
+                   and not np.array_equal(c, (0, 0, 0))]
+            fill = Counter(ncs).most_common(1)[0][0] if ncs else tc
+            cv2.drawContours(output, [cnt], -1, tuple(map(int, fill)),
+                             thickness=cv2.FILLED)
+    return output
+
+
+def _labels_with_specks(s=128, seed=0):
+    """Phantom label image + body mask with injected tiny specks."""
+    from eitx.scripts.pseudo_label import pseudo_label_slice
+
+    rng = np.random.default_rng(seed)
+    hu, body = thorax_phantom_hu(rng, s, rich=True)
+    labels = np.asarray(pseudo_label_slice(hu, body)).copy()
+    body = np.asarray(body)
+    ys, xs = np.nonzero((body > 0) & (labels == 1))
+    for _ in range(12):  # 1-px specks of random non-muscle classes
+        k = rng.integers(0, ys.size)
+        labels[ys[k], xs[k]] = rng.choice([0, 2, 3])
+    for _ in range(4):  # small 2x2 blobs
+        k = rng.integers(0, ys.size)
+        y0, x0 = ys[k], xs[k]
+        labels[y0:y0 + 2, x0:x0 + 2] = rng.choice([0, 3])
+    return labels, body
+
+
+def test_cleanup_chain_matches_reference_oracle():
+    """cleanup_labels == the reference's clear_color_output +
+    highlight_small_masks chain on realistic phantom labels with
+    injected specks.
+
+    Documented legitimate divergence: the reference's tiny-region rule is
+    len(findContours CHAIN_APPROX_SIMPLE contour) <= 5, which also fires
+    on LARGE perfect rectangles (a 50x80 block has a 4-point contour);
+    eitx keys on component area <= 5, equivalent for the blobby regions
+    real segmentation produces. Agreement is therefore asserted at
+    >= 99.9% of pixels with every disagreeing pixel inside a tiny
+    (<= 12 px) input component.
+    """
+    from eitx.masks import bgr_to_labels, cleanup_labels, labels_to_bgr
+    from scipy.ndimage import label as splabel
+
+    total = bad = 0
+    for seed in range(4):
+        labels, body = _labels_with_specks(seed=seed)
+        got = np.asarray(cleanup_labels(labels, body))
+
+        bgr = np.asarray(labels_to_bgr(labels))
+        want_bgr = _oracle_highlight(_oracle_clear(body, bgr))
+        want = np.asarray(bgr_to_labels(want_bgr))
+
+        agree = got == want
+        total += agree.size
+        bad += (~agree).sum()
+        if (~agree).any():
+            # all disagreements must be inside tiny input components
+            lab4, n = splabel(labels >= 0)
+            del lab4, n
+            ys, xs = np.nonzero(~agree)
+            for y, x in zip(ys, xs):
+                cls = labels[y, x]
+                comp, _ = splabel(labels == cls)
+                size = (comp == comp[y, x]).sum() if cls >= 0 else 0
+                assert size <= 12, (
+                    f"disagreement at ({y},{x}) in a {size}-px component"
+                )
+    assert bad / total <= 1e-3, f"cleanup disagreement {bad}/{total}"
+
+
+def test_cleanup_reference_quirks_unit():
+    """The reference's exact small-component semantics: isolated 1-px
+    specks -> muscle; 2x2 specks SURVIVE the clear pass via self-votes
+    (lung is never touched by the per-class pass); tiny bone blobs are
+    recolored to their majority neighbour by the per-class pass."""
+    from eitx.masks import cleanup_labels
+
+    lab = np.full((24, 24), 1, np.int32)
+    body = np.full((24, 24), 255, np.uint8)
+    lab[4, 4] = 2          # isolated 1-px lung speck
+    lab[10:12, 10:12] = 2  # 2x2 lung speck (self-votes keep it)
+    lab[18:20, 4:6] = 0    # 2x2 bone blob (per-class pass recolors)
+    out = np.asarray(cleanup_labels(lab, body))
+    assert out[4, 4] == 1
+    assert (out[10:12, 10:12] == 2).all()
+    assert (out[18:20, 4:6] == 1).all()
