@@ -130,6 +130,11 @@ def main(argv=None):
     p.add_argument("--mask-topk", type=int, default=160,
                    help="mask loss over only the K best positive anchors "
                         "(0 = all-anchor legacy path)")
+    p.add_argument("--init-from", default=None,
+                   help="warm-start from a deployment checkpoint (EMA "
+                        "params + batch stats); the net is fully "
+                        "convolutional, so a 256-trained checkpoint "
+                        "fine-tunes at 512 directly")
     args = p.parse_args(argv)
     mask_res = args.mask_res or args.imgsz // 2
     logging.basicConfig(level=logging.INFO)
@@ -152,6 +157,28 @@ def main(argv=None):
         max_instances=12, mask_topk=args.mask_topk,
     )
     trainer = Trainer(cfg)
+    if args.init_from:
+        import jax as _jax
+
+        from ..models.yolo.convert import restore_checkpoint_tree
+        from ..train.trainer import TrainState
+
+        tree = restore_checkpoint_tree(args.init_from)
+        params = serialization.from_state_dict(
+            _jax.device_get(trainer.state.params), tree["params"]
+        )
+        stats = trainer.state.batch_stats
+        if tree.get("batch_stats"):
+            stats = serialization.from_state_dict(
+                _jax.device_get(stats), tree["batch_stats"]
+            )
+        params = _jax.device_put(params)
+        trainer.state = TrainState(
+            params=params,
+            batch_stats=_jax.device_put(stats),
+            opt_state=trainer.tx.init(params),
+        )
+        log.info("warm-started from %s", args.init_from)
     from ..train.phantoms import phantom_batch
 
     val = phantom_batch(args.batch, args.imgsz, 12,
