@@ -130,6 +130,10 @@ def main(argv=None):
     p.add_argument("--mask-topk", type=int, default=160,
                    help="mask loss over only the K best positive anchors "
                         "(0 = all-anchor legacy path)")
+    p.add_argument("--data-seed", type=int, default=0,
+                   help="phantom pregeneration seed (use a fresh seed "
+                        "when continuing training from a checkpoint so "
+                        "the continuation sees new data)")
     p.add_argument("--init-from", default=None,
                    help="warm-start from a deployment checkpoint (EMA "
                         "params + batch stats); the net is fully "
@@ -147,8 +151,8 @@ def main(argv=None):
 
     t0 = time.time()
     log.info("pregenerating %d phantoms...", args.n_train)
-    data = pregenerate(args.n_train, args.imgsz, 12, seed=0, rich=args.rich,
-                       mask_res=mask_res, store_u8=True)
+    data = pregenerate(args.n_train, args.imgsz, 12, seed=args.data_seed,
+                       rich=args.rich, mask_res=mask_res, store_u8=True)
     log.info("data ready in %.1fs", time.time() - t0)
 
     cfg = TrainConfig(

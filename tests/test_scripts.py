@@ -106,3 +106,37 @@ def test_build_nii_dataset(tmp_path):
     assert abs(float(spacing[0]) - 0.7) < 1e-5
     labels = list((out / "labels").iterdir())
     assert any(pth.stat().st_size > 0 for pth in labels)
+
+
+def test_train_tissue_init_from_warm_start(tmp_path):
+    """--init-from restores EMA params + batch stats into a fresh Trainer
+    (any imgsz — the net is fully convolutional)."""
+    import jax
+    from flax import serialization
+
+    from eitx.train.trainer import TrainConfig, Trainer
+
+    src = Trainer(TrainConfig(imgsz=64, variant="n", total_steps=2,
+                              warmup_steps=0, max_instances=4))
+    payload = {
+        "params": jax.device_get(src.state.params),
+        "batch_stats": jax.device_get(src.state.batch_stats),
+        "meta": {"variant": "n", "imgsz": 64, "nc": 4},
+    }
+    ckpt = tmp_path / "warm.msgpack"
+    ckpt.write_bytes(serialization.msgpack_serialize(payload))
+
+    # drive main() far enough to hit the warm-start branch cheaply
+    from eitx.scripts.train_tissue import main
+
+    report = main([
+        "--steps", "1", "--batch", "2", "--imgsz", "32", "--n-train", "2",
+        "--eval-n", "1", "--init-from", str(ckpt),
+        "--out", str(tmp_path / "out.msgpack"),
+    ])
+    assert "macro_iou" in report
+    # the saved deployment checkpoint must carry the warm-started meta
+    from eitx.models.yolo.convert import peek_checkpoint_meta
+
+    meta = peek_checkpoint_meta(str(tmp_path / "out.msgpack"))
+    assert meta["imgsz"] == 32 and meta["mask_topk"] == 160
