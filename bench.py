@@ -19,12 +19,21 @@ import time
 import numpy as np
 
 
-def build_thorax_mesh(lc=7.0):
+def build_thorax_mesh(lc=7.0, jitter=0.0, seed=0):
+    """Synthetic thorax mesh; ``jitter`` scales the anatomy (same lc so
+    same-subject-batch padding buckets coincide)."""
     from eitx.mesh import create_mesh
+
+    rng = np.random.default_rng(seed)
+
+    def j():
+        return 1.0 + rng.uniform(-jitter, jitter) if jitter else 1.0
 
     def ellipse(cid, cx, cy, rx, ry, n=80):
         th = np.linspace(0, 2 * np.pi, n, endpoint=False)
-        pts = np.stack([cx + rx * np.cos(th), cy + ry * np.sin(th)], 1)
+        pts = np.stack(
+            [cx + rx * j() * np.cos(th), cy + ry * j() * np.sin(th)], 1
+        )
         return f"{cid} " + " ".join(f"{x:.1f} {y:.1f}" for x, y in pts)
 
     polygons = [
@@ -273,11 +282,10 @@ def bench_eit_batch(n_subjects=8, frames=1200):
     from eitx.core.config import SimulationConfig
     from eitx.fem.forward import simulate_eit_monitoring_subjects
 
-    rng = np.random.default_rng(0)
-    meshes = []
-    for _ in range(n_subjects):
-        j = 1.0 + rng.uniform(-0.04, 0.04)
-        meshes.append(build_thorax_mesh(lc=7.0 * j))
+    meshes = [
+        build_thorax_mesh(lc=7.0, jitter=0.03, seed=s)
+        for s in range(n_subjects)
+    ]
     cfg = SimulationConfig(n_points=frames, n_spir=1, n_minutes=1)
     simulate_eit_monitoring_subjects(meshes, cfg)  # compile warmup
     t0 = time.perf_counter()
