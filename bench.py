@@ -273,26 +273,84 @@ def bench_segmentation(batch=128, imgsz=512, repeats=5):
 
 def bench_eit_batch(n_subjects=8, frames=1200):
     """Batched same-bucket subject generation: ONE vmapped Cholesky+eigh
-    setup for all subjects (LowRankSpectralSolver.build_batch via
-    simulate_eit_monitoring_subjects), the steady-state dataset-factory
-    rate — what pipeline/batch.py ships per request batch.
+    setup for all subjects (LowRankSpectralSolver.build_batch).
 
-    Returns (frames_per_sec_incl_setup, subjects_per_hour).
+    Two numbers with different boundaries:
+      - spectral frames/s: batched factorization + all solves, from
+        prebuilt stiffness operators — directly comparable to the
+        single-subject headline (which also excludes mesh/assembly)
+      - subjects/hour: the WHOLE per-subject tail (mesh-info prep,
+        electrode placement, stiffness assembly, setup, solve) via
+        simulate_eit_monitoring_subjects — the dataset-factory rate
+        pipeline/batch.py ships.
     """
-    from eitx.core.config import SimulationConfig
-    from eitx.fem.forward import simulate_eit_monitoring_subjects
+    import jax.numpy as jnp
+
+    from eitx.core.config import ClassMap, SimulationConfig
+    from eitx.fem.assembly import ClassStiffness
+    from eitx.fem.electrodes import place_electrodes_equal_spacing
+    from eitx.fem.forward import (
+        build_sigma_frames,
+        compact_mesh_nodes,
+        prepare_mesh_info,
+        simulate_eit_monitoring_subjects,
+    )
+    from eitx.fem.protocol import create_protocol
+    from eitx.fem.spectral import LowRankSpectralSolver
+    from eitx.physio.materials import (
+        generate_material_tables,
+        tissue_conductivities,
+    )
+    from eitx.physio.spirometry import conductivity_schedule
 
     meshes = [
         build_thorax_mesh(lc=7.0, jitter=0.03, seed=s)
         for s in range(n_subjects)
     ]
-    cfg = SimulationConfig(n_points=frames, n_spir=1, n_minutes=1)
+    classes = ClassMap()
+    mats = generate_material_tables()
+    _, condspir = conductivity_schedule(12, frames, 5e4, mats)
+    base = tissue_conductivities(mats, 5e4, classes.id_to_name())
+    sigma = build_sigma_frames(condspir, base, classes)
+    lung = classes.name_to_id()["lung"]
+    alphas = jnp.asarray(sigma[:, lung], jnp.float32)
+    a0 = float(np.mean(sigma[:, lung]))
+    proto = create_protocol(16, 1, 1, "std")
+    infos = [compact_mesh_nodes(prepare_mesh_info(m, classes))
+             for m in meshes]
+    els = [place_electrodes_equal_spacing(i.node, i.element, 16,
+                                          starting_angle=np.pi)
+           for i in infos]
+    css = [ClassStiffness.build(i.node, i.element, i.cond, n_classes=5,
+                                pad_nodes_to=512, pad_elems_to=2048)
+           for i in infos]
+    assert len({cs.k_class.shape for cs in css}) == 1, (
+        "subjects split across padding buckets"
+    )
+
+    def spectral_job():
+        solvers = LowRankSpectralSolver.build_batch(
+            css, sigma[0], lung, els, proto.ex_mat, proto.meas_mat,
+            [a0] * n_subjects,
+        )
+        return [s.solve(alphas) for s in solvers]
+
+    for v in spectral_job():  # compile warmup
+        v.block_until_ready()
+    t0 = time.perf_counter()
+    vs = spectral_job()
+    for v in vs:
+        v.block_until_ready()
+    spectral_fps = n_subjects * frames / (time.perf_counter() - t0)
+
+    cfg = SimulationConfig(n_points=frames, n_spir=1, n_minutes=1,
+                           pad_nodes_to=512, pad_elems_to=2048)
     simulate_eit_monitoring_subjects(meshes, cfg)  # compile warmup
     t0 = time.perf_counter()
     out = simulate_eit_monitoring_subjects(meshes, cfg)
     dt = time.perf_counter() - t0
     assert all(np.isfinite(v).all() for v, _ in out)
-    return n_subjects * frames / dt, n_subjects * 3600.0 / dt
+    return spectral_fps, n_subjects * 3600.0 / dt
 
 
 def main():
@@ -361,8 +419,10 @@ def main():
         "segmentation_link_ceiling_slices_per_sec": (
             round(link_mbps * 1e6 / (512 * 512), 1) if link_mbps else None
         ),
-        # batched same-bucket generation (one vmapped setup for 8 subjects)
-        "batched_frames_per_sec_incl_setup": (
+        # batched same-bucket generation (one vmapped setup for 8
+        # subjects); spectral number excludes mesh prep / stiffness
+        # assembly like the headline, subjects/hour includes everything
+        "batched_spectral_frames_per_sec_incl_setup": (
             round(batch_fps, 1) if batch_fps else None
         ),
         "batched_subjects_per_hour": (
