@@ -194,12 +194,13 @@ def bench_eit(mesh, frames=1200, repeats=3):
     return frames / best, info.node.shape[0], np.asarray(v), solve_only, mfu
 
 
-def bench_eit_oracle(mesh, frames=7):
+def bench_eit_oracle(mesh, frames=9):
     """Single-core scipy frames/sec (pyeit-equivalent numerical path).
 
-    Median per-frame time with the first (cache-cold) frame dropped, so
-    concurrent host load cannot skew the baseline much in either
-    direction."""
+    Scored by the FASTEST frame (first cache-cold frame dropped): the
+    shared relay host's background load can halve the scipy rate
+    run-to-run, and crediting the baseline its least-interfered frame is
+    the conservative choice for vs_baseline."""
     from eitx.core.config import ClassMap
     from eitx.fem.electrodes import place_electrodes_equal_spacing
     from eitx.fem.forward import compact_mesh_nodes, prepare_mesh_info
@@ -220,7 +221,7 @@ def bench_eit_oracle(mesh, frames=7):
             proto.ex_mat, proto.meas_mat,
         )
         per_frame.append(time.perf_counter() - t0)
-    return 1.0 / float(np.median(per_frame[1:]))
+    return 1.0 / float(np.min(per_frame[1:]))
 
 
 def bench_segmentation(batch=128, imgsz=512, repeats=5):
