@@ -140,3 +140,46 @@ def test_train_tissue_init_from_warm_start(tmp_path):
 
     meta = peek_checkpoint_meta(str(tmp_path / "out.msgpack"))
     assert meta["imgsz"] == 32 and meta["mask_topk"] == 160
+
+
+def test_devtools_split_and_polyline(tmp_path):
+    """Dev-utility equivalents of the reference's scripts/label.py and
+    scripts/cnt_draw.py."""
+    from eitx.scripts.devtools import draw_polyline, split_yolo_dataset
+
+    src = tmp_path / "src"
+    (src / "images").mkdir(parents=True)
+    (src / "labels").mkdir()
+    for i in range(10):
+        (src / "images" / f"s{i}.png").write_bytes(b"x")
+        if i % 2 == 0:  # half the images have labels, half are negatives
+            (src / "labels" / f"s{i}.txt").write_text("0 0.5 0.5 0.1 0.1")
+    n_t, n_v = split_yolo_dataset(str(src), str(tmp_path / "dst"), 0.7)
+    assert (n_t, n_v) == (7, 3)
+    t_imgs = os.listdir(tmp_path / "dst" / "train" / "images")
+    t_labs = os.listdir(tmp_path / "dst" / "train" / "labels")
+    assert len(t_imgs) == 7 and len(t_labs) == 7  # negatives get empty txt
+    # deterministic: same seed, same split
+    n_t2, _ = split_yolo_dataset(str(src), str(tmp_path / "dst2"), 0.7)
+    assert sorted(os.listdir(tmp_path / "dst2" / "train" / "images")) == \
+        sorted(t_imgs)
+
+    img = draw_polyline([10, 10, 50, 10, 50, 40], size=(64, 64))
+    assert img.dtype == np.uint8 and img[10, 30] == 255 and img[25, 50] == 255
+    assert img[30, 10] == 0
+
+
+def test_devtools_lung_overlay(tmp_path):
+    """scripts/test_lungmask.py equivalent: lung contours over a DICOM
+    slice via eitx's own segmenter (random weights are fine — the test
+    checks wiring, not quality)."""
+    from eitx.io.dicom import write_dicom
+    from eitx.scripts.devtools import lung_overlay
+
+    hu, _ = _phantom_hu(96, 96)
+    px = (hu - (-1024.0)).astype(np.uint16)
+    p = tmp_path / "s.dcm"
+    p.write_bytes(write_dicom(px, series_uid="1.2.3", instance_number=1,
+                              rescale_intercept=-1024.0, rescale_slope=1.0))
+    overlay = lung_overlay(str(p), weights=None, imgsz=64)
+    assert overlay.shape == (96, 96, 3) and overlay.dtype == np.uint8
