@@ -259,28 +259,24 @@ def main():  # pragma: no cover
     import os
 
     # Default checkpoint discovery mirrors the reference's fixed weight
-    # paths (kt_service_config.py:1-3): env var, else the in-repo trained
-    # checkpoints under weights/ when present.
-    repo_weights = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))), "weights",
-    )
+    # paths (kt_service_config.py:1-3): env var, else the best in-repo
+    # trained checkpoint for each slot (s-variant preferred over n).
+    from ..core.weights import find_checkpoint
 
-    def default_ckpt(env: str, fname: str):
-        return os.environ.get(env) or os.path.join(repo_weights, fname)
+    def default_ckpt(env: str, stem: str, size: int):
+        return os.environ.get(env) or find_checkpoint(stem, size)
 
     p = argparse.ArgumentParser(description="eitx CT->EIT service")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=5001)
     p.add_argument("--ribs-weights",
-                   default=default_ckpt("EITX_RIBS_WEIGHTS",
-                                        "ribs_n_640.msgpack"))
+                   default=default_ckpt("EITX_RIBS_WEIGHTS", "ribs", 640))
     p.add_argument("--axial-weights-256",
                    default=default_ckpt("EITX_AXIAL_WEIGHTS_256",
-                                        "tissue_n_256.msgpack"))
+                                        "tissue", 256))
     p.add_argument("--axial-weights-512",
                    default=default_ckpt("EITX_AXIAL_WEIGHTS_512",
-                                        "tissue_n_512.msgpack"))
+                                        "tissue", 512))
     args = p.parse_args()
     logging.basicConfig(level=logging.INFO)
 

@@ -62,12 +62,15 @@ def build_series_zip(n_slices=192, size=256, seed=11):
 
 
 def main():
+    from eitx.core.weights import find_checkpoint
+
+    # best trained checkpoint per serving slot (s preferred over n; the
+    # checkpoint's own meta fixes the graph variant at load time)
     cfg = PipelineConfig(
         model=ModelConfig(
-            ribs_weights="weights/ribs_n_640.msgpack",
-            axial_weights_256="weights/tissue_n_256.msgpack",
-            axial_weights_512="weights/tissue_n_512.msgpack",
-            variant="n",
+            ribs_weights=find_checkpoint("ribs", 640),
+            axial_weights_256=find_checkpoint("tissue", 256),
+            axial_weights_512=find_checkpoint("tissue", 512),
         ),
         sim=SimulationConfig(n_points=25),
     )

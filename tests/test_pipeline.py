@@ -194,14 +194,16 @@ def test_jpg_png_mode_with_trained_checkpoint(tmp_path):
     phantom axial slice -> trained segmenter -> mesh -> EIT dataset."""
     import os
 
-    ckpt = os.path.join("weights", "tissue_n_256.msgpack")
-    if not os.path.exists(ckpt):
+    from eitx.core.weights import find_checkpoint
+
+    ckpt = find_checkpoint("tissue", 256)
+    if ckpt is None:
         pytest.skip("no trained checkpoint in weights/")
     from eitx.core.config import ModelConfig
     from eitx.train.phantoms import phantom_batch
 
     cfg = PipelineConfig(
-        model=ModelConfig(axial_weights_256=ckpt, variant="n"),
+        model=ModelConfig(axial_weights_256=ckpt),
         sim=SimulationConfig(n_points=3),
         results_dir=str(tmp_path),
     )
@@ -222,14 +224,16 @@ def test_rib_detector_trained_checkpoint_selects_slice():
     rule (reference utils.py:166-269) end to end."""
     import os
 
-    ckpt = os.path.join("weights", "ribs_n_640.msgpack")
-    if not os.path.exists(ckpt):
+    from eitx.core.weights import find_checkpoint
+
+    ckpt = find_checkpoint("ribs", 640)
+    if ckpt is None:
         pytest.skip("no trained rib checkpoint in weights/")
     from eitx.models.yolo.infer import RibsDetector
     from eitx.select import select_axial_slice_number
     from eitx.train.phantoms import frontal_rib_phantom
 
-    det = RibsDetector(weights=ckpt, imgsz=640, variant="n", max_det=32)
+    det = RibsDetector(weights=ckpt, imgsz=640, max_det=32)
     rng = np.random.default_rng(2024)
     img, gt = frontal_rib_phantom(rng, 640)
     d = det.predict(img)
