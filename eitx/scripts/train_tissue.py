@@ -139,6 +139,15 @@ def main(argv=None):
                         "params + batch stats); the net is fully "
                         "convolutional, so a 256-trained checkpoint "
                         "fine-tunes at 512 directly")
+    p.add_argument("--data-cache", default=None,
+                   help="npz path for the pregenerated phantom set: "
+                        "loaded when it exists, else generated and "
+                        "saved. Pregeneration is host-bound (~minutes "
+                        "per thousand 512^2 phantoms on one core), so a "
+                        "cache written ahead of time lets a queued run "
+                        "start stepping immediately. The caller owns "
+                        "cache/flag consistency (imgsz, rich, mask-res, "
+                        "seed are NOT hashed into the file).")
     args = p.parse_args(argv)
     mask_res = args.mask_res or args.imgsz // 2
     logging.basicConfig(level=logging.INFO)
@@ -150,9 +159,25 @@ def main(argv=None):
     from ..train.trainer import TrainConfig, Trainer, fit
 
     t0 = time.time()
-    log.info("pregenerating %d phantoms...", args.n_train)
-    data = pregenerate(args.n_train, args.imgsz, 12, seed=args.data_seed,
-                       rich=args.rich, mask_res=mask_res, store_u8=True)
+    import os as _os
+
+    if args.data_cache and _os.path.exists(args.data_cache):
+        log.info("loading phantom cache %s...", args.data_cache)
+        with np.load(args.data_cache) as z:
+            data = {k: z[k] for k in z.files}
+        if data["images"].shape[0] != args.n_train:
+            raise SystemExit(
+                f"cache has {data['images'].shape[0]} samples, "
+                f"--n-train is {args.n_train}"
+            )
+    else:
+        log.info("pregenerating %d phantoms...", args.n_train)
+        data = pregenerate(args.n_train, args.imgsz, 12,
+                           seed=args.data_seed, rich=args.rich,
+                           mask_res=mask_res, store_u8=True)
+        if args.data_cache:
+            np.savez(args.data_cache, **data)
+            log.info("phantom cache written to %s", args.data_cache)
     log.info("data ready in %.1fs", time.time() - t0)
 
     cfg = TrainConfig(
