@@ -64,27 +64,27 @@ def _xla_flops(jitted, *args, **static):
 
 
 def _chip_peak_flops():
-    """(bf16_peak, f32_peak) FLOP/s for the attached chip.
+    """(bf16_peak, f32_peak, known: bool) FLOP/s for the attached chip.
 
-    Known public peaks; f32 is taken as bf16/4 (the MXU natively
+    Known public TPU peaks; f32 is taken as bf16/4 (the MXU natively
     multiplies bf16 — full-f32 matmuls run as multi-pass passes). The
     assumption is encoded in the output keys so MFU numbers stay
-    re-derivable from the raw TFLOP/s also reported.
+    re-derivable from the raw TFLOP/s also reported. On non-TPU or
+    unrecognized hardware the peak is unknown: (None, None, False), and
+    main() then emits null MFU keys instead of numbers computed against
+    a peak the hardware does not have.
     """
     import jax
 
-    kind = jax.devices()[0].device_kind.lower()
-    bf16 = None
+    dev = jax.devices()[0]
+    kind = dev.device_kind.lower()
     for tag, peak in (
         ("v5 lite", 197e12), ("v5e", 197e12), ("v5p", 459e12),
         ("v6", 918e12), ("v4", 275e12), ("v3", 123e12),
     ):
         if tag in kind:
-            bf16 = peak
-            break
-    if bf16 is None:
-        bf16 = 197e12  # default: v5e-class
-    return bf16, bf16 / 4.0
+            return peak, peak / 4.0, True
+    return None, None, False
 
 
 def bench_eit(mesh, frames=1200, repeats=3):
@@ -378,7 +378,7 @@ def main():
         print(f"segmentation bench skipped: {e}", file=sys.stderr)
         seg_fps, seg_dev_fps, link_mbps, seg_mfu = None, None, None, {}
 
-    bf16_peak, f32_peak = _chip_peak_flops()
+    bf16_peak, f32_peak, peak_known = _chip_peak_flops()
 
     def _tflops(flops, seconds):
         if not flops or not seconds:
@@ -432,24 +432,33 @@ def main():
         # MFU: XLA cost_analysis FLOPs of the exact compiled programs /
         # measured phase seconds / chip peak. f32 peak assumed bf16/4
         # (multi-pass f32 matmul on the MXU); raw TFLOP/s reported so the
-        # numbers re-derive under any other peak assumption.
-        "chip_peak_bf16_tflops": round(bf16_peak / 1e12, 1),
-        "mfu_assumed_f32_peak_tflops": round(f32_peak / 1e12, 1),
+        # numbers re-derive under any other peak assumption. On hardware
+        # whose peak is unknown (non-TPU, unlisted TPU kind) the MFU keys
+        # are null — achieved TFLOP/s stays reported.
+        "chip_peak_bf16_tflops": (
+            round(bf16_peak / 1e12, 1) if peak_known else None
+        ),
+        "mfu_assumed_f32_peak_tflops": (
+            round(f32_peak / 1e12, 1) if peak_known else None
+        ),
         "eit_setup_achieved_tflops": (
             round(setup_tf, 3) if setup_tf else None
         ),
         "mfu_eit_setup": (
-            round(setup_tf * 1e12 / f32_peak, 4) if setup_tf else None
+            round(setup_tf * 1e12 / f32_peak, 4)
+            if setup_tf and peak_known else None
         ),
         "eit_solve_achieved_tflops": (
             round(solve_tf, 3) if solve_tf else None
         ),
         "mfu_eit_solve": (
-            round(solve_tf * 1e12 / f32_peak, 4) if solve_tf else None
+            round(solve_tf * 1e12 / f32_peak, 4)
+            if solve_tf and peak_known else None
         ),
         "seg_achieved_tflops": round(seg_tf, 2) if seg_tf else None,
         "mfu_segmentation": (
-            round(seg_tf * 1e12 / bf16_peak, 4) if seg_tf else None
+            round(seg_tf * 1e12 / bf16_peak, 4)
+            if seg_tf and peak_known else None
         ),
         "bench_wall_s": round(time.time() - t_start, 1),
     }

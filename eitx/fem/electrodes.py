@@ -79,6 +79,34 @@ def boundary_loop(
             )
         return np.array(loop, dtype=np.int64)
 
+    # Reject disconnected triangulations outright: the outer-face walk
+    # below would silently trace only the fragment holding the
+    # bottommost node and electrodes would all land on one fragment
+    # (the manifold path guards the same failure via its loop-coverage
+    # check). Union-find over node-sharing triangles.
+    used = np.unique(tris)
+    index_of = {int(n): i for i, n in enumerate(used)}
+    parent = np.arange(used.size)
+
+    def _find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for t in tris:
+        a = _find(index_of[int(t[0])])
+        for v in (int(t[1]), int(t[2])):
+            b = _find(index_of[v])
+            if a != b:
+                parent[b] = a
+    n_components = len({_find(i) for i in range(used.size)})
+    if n_components > 1:
+        raise MeshingError(
+            f"mesh has {n_components} disconnected components; electrode "
+            "placement needs a single connected triangulation"
+        )
+
     # Geometric outer-face walk. Start at the bottommost (then leftmost)
     # boundary node — guaranteed to lie on the outer loop — heading to
     # the neighbour that keeps the interior on the left (CCW); at every

@@ -115,13 +115,16 @@ def lung_overlay(
     )
     img = np.asarray(window_normalize(hu, 40.0, 400.0)).astype(np.uint8)
     if weights is None:
-        default = os.path.join(
-            os.path.dirname(__file__), "..", "..", "weights",
-            f"tissue_n_{imgsz}.msgpack",
-        )
-        weights = default if os.path.exists(default) else None
-    seg = TissueSegmenter(imgsz=imgsz, weights=weights, variant="n",
-                          max_det=16)
+        from ..core.weights import find_checkpoint
+
+        weights = find_checkpoint("tissue", imgsz)
+        if weights is None:
+            raise SystemExit(
+                f"no trained tissue checkpoint for imgsz={imgsz} under "
+                "weights/ — pass an explicit weights path (a random-"
+                "init segmenter would draw garbage contours)"
+            )
+    seg = TissueSegmenter(imgsz=imgsz, weights=weights, max_det=16)
     labels = seg.segment_labels(img[None], compose_full=True)[0]
     overlay = np.repeat(img[..., None], 3, axis=-1)
     for cnt in find_external_contours((labels == 2).astype(np.uint8)):

@@ -70,8 +70,13 @@ def evaluate_checkpoint(
             iou = _box_iou(pred, gt)
             matched_gt = set()
             for k in np.argsort(-d.scores[d.valid]):
-                j = int(np.argmax(iou[k]))
-                if iou[k, j] >= 0.5 and j not in matched_gt:
+                # best-IoU UNMATCHED ground truth (argmax over all GTs
+                # would count a prediction as FP when its top overlap is
+                # already taken even though another GT clears 0.5)
+                order = np.argsort(-iou[k])
+                j = next((int(j) for j in order if j not in matched_gt),
+                         None)
+                if j is not None and iou[k, j] >= 0.5:
                     matched_gt.add(j)
                     tp += 1
                 else:
@@ -97,7 +102,9 @@ def evaluate_checkpoint(
     errs = np.asarray(slice_errors, np.float64)
     hist_edges = [0, 2, 5, 10, 20, 50, np.inf]
     hist = {
-        f"<={hist_edges[k + 1]}px": int(
+        (f"<={hist_edges[k + 1]:g}px"
+         if np.isfinite(hist_edges[k + 1]) else
+         f">{hist_edges[k]:g}px"): int(
             ((errs > hist_edges[k]) & (errs <= hist_edges[k + 1])).sum()
             + (k == 0) * (errs == 0).sum()
         )

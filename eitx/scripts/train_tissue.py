@@ -176,8 +176,13 @@ def main(argv=None):
                            seed=args.data_seed, rich=args.rich,
                            mask_res=mask_res, store_u8=True)
         if args.data_cache:
-            np.savez(args.data_cache, **data)
+            np.savez(args.data_cache,
+                     **{k: v for k, v in data.items() if k != "labels"})
             log.info("phantom cache written to %s", args.data_cache)
+    # the dense per-pixel label map is an eval-side artifact; training
+    # consumes images/boxes/classes/masks/valid only — don't keep an
+    # (N, imgsz, imgsz) int array pinned in host RAM
+    data.pop("labels", None)
     log.info("data ready in %.1fs", time.time() - t0)
 
     cfg = TrainConfig(

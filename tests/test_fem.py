@@ -61,6 +61,22 @@ def test_boundary_loop_is_circle():
     assert len(loop) >= 36
 
 
+def test_boundary_loop_rejects_disconnected_mesh():
+    """A mesh of two disjoint fragments must raise, not silently trace
+    the fragment holding the bottommost node (geometric-walk path)."""
+    import pytest
+
+    from eitx.core.errors import MeshingError
+
+    nodes = np.array(
+        [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0],       # fragment A
+         [10.0, 10.0], [11.0, 10.0], [10.0, 11.0]]  # fragment B
+    )
+    tris = np.array([[0, 1, 2], [3, 4, 5]])
+    with pytest.raises(MeshingError, match="disconnected"):
+        boundary_loop(tris, nodes)
+
+
 def test_electrode_placement_spacing_and_start():
     nodes, tris = disk_mesh(64, 6)
     el = place_electrodes_equal_spacing(nodes, tris, 16, starting_angle=np.pi)
