@@ -153,8 +153,8 @@ def main(argv=None):
 
     from ..train.checkpoint import save_checkpoint
     from ..train.phantoms import rib_batch
+    from ..train.data import device_batches
     from ..train.trainer import TrainConfig, Trainer, fit
-    from .train_tissue import batches_from
 
     t0 = time.time()
     log.info("pregenerating %d frontal phantoms...", args.n_train)
@@ -172,7 +172,7 @@ def main(argv=None):
     val = rib_batch(args.batch, args.imgsz, 24, np.random.default_rng(555))
     metrics, ema_params = fit(
         trainer,
-        batches_from(data, args.batch),
+        device_batches(data, args.batch, args.imgsz),
         steps=args.steps,
         checkpoint_path=args.out + ".train",
         checkpoint_every=max(200, args.steps // 4),

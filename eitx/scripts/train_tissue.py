@@ -139,6 +139,11 @@ def main(argv=None):
                         "params + batch stats); the net is fully "
                         "convolutional, so a 256-trained checkpoint "
                         "fine-tunes at 512 directly")
+    p.add_argument("--resume", action="store_true",
+                   help="restore the full TrainState (params + optimizer "
+                        "+ batch stats) from <out>.train and run --steps "
+                        "MORE steps; the EMA restarts from the restored "
+                        "params and re-converges within ~2*tau steps")
     p.add_argument("--data-cache", default=None,
                    help="npz path for the pregenerated phantom set: "
                         "loaded when it exists, else generated and "
@@ -191,7 +196,13 @@ def main(argv=None):
         max_instances=12, mask_topk=args.mask_topk,
     )
     trainer = Trainer(cfg)
-    if args.init_from:
+    if args.resume:
+        from ..train.checkpoint import load_checkpoint
+
+        trainer.state = load_checkpoint(args.out + ".train", trainer.state)
+        log.info("resumed TrainState from %s.train at step %d",
+                 args.out, trainer.state.step)
+    elif args.init_from:
         import jax as _jax
 
         from ..models.yolo.convert import restore_checkpoint_tree
@@ -218,9 +229,15 @@ def main(argv=None):
     val = phantom_batch(args.batch, args.imgsz, 12,
                         np.random.default_rng(555), mask_res=mask_res,
                         store_u8=True)
+    # device-resident batching: the whole store lives in HBM and each
+    # step draws an on-device gather+flip batch (one PRNG key h2d per
+    # step — the relay link would otherwise cost ~125 ms AND leak host
+    # RSS per transferred batch; see train/data.py:device_batches)
+    from ..train.data import device_batches
+
     metrics, ema_params = fit(
         trainer,
-        batches_from(data, args.batch),
+        device_batches(data, args.batch, args.imgsz),
         steps=args.steps,
         checkpoint_path=args.out + ".train",
         checkpoint_every=max(200, args.steps // 4),

@@ -62,3 +62,79 @@ def synthetic_ct_batch(
         "masks": masks,
         "valid": valid,
     }
+
+
+def device_batches(
+    data: Dict[str, np.ndarray],
+    batch: int,
+    imgsz: int,
+    seed: int = 0,
+    augment: bool = True,
+    flip_h_prob: float = 0.5,
+    flip_v_prob: float = 0.25,
+):
+    """Device-resident minibatch stream.
+
+    Uploads the pregenerated sample store to the accelerator ONCE and
+    draws every training batch with an on-device gather + flip
+    augmentation, so the per-step host->device traffic is one PRNG key
+    instead of the full batch.
+
+    Motivation: on relay-attached chips every h2d transfer costs link
+    bandwidth AND the relay client leaks host memory proportional to the
+    bytes moved (measured ~1.8x payload per transfer; a 19k-step run at
+    8 MB/step leaks >100 GB of host RSS and gets OOM-killed). A
+    3k-sample 256^2 store is ~3 GB and fits HBM comfortably; on-device
+    gathers move nothing over the link.
+
+    Yields device-array dicts with the same keys/dtypes as the host
+    batcher (``train_tissue.batches_from``): images u8 / masks u8 /
+    boxes f32 / classes i32 / valid bool. A ``masks`` key is optional
+    (detection-only stores). Sampling is i.i.d. uniform with
+    replacement, vs the host batcher's epoch shuffles — statistically
+    equivalent over the multi-epoch budgets used here.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    keys = [k for k in ("images", "boxes", "classes", "masks", "valid")
+            if k in data]
+    store = {k: jax.device_put(np.ascontiguousarray(data[k]))
+             for k in keys}
+    n = int(store["images"].shape[0])
+    size = float(imgsz)
+
+    @jax.jit
+    def draw(store, key):
+        kidx, kh, kv = jax.random.split(key, 3)
+        idx = jax.random.randint(kidx, (batch,), 0, n)
+        b = {k: jnp.take(v, idx, axis=0) for k, v in store.items()}
+        if not augment:
+            return b
+        img, box = b["images"], b["boxes"]
+        val = b["valid"][..., None]
+        sel_h = jax.random.uniform(kh, (batch,)) < flip_h_prob
+        sel_v = jax.random.uniform(kv, (batch,)) < flip_v_prob
+        img = jnp.where(sel_h[:, None, None, None], jnp.flip(img, 2), img)
+        box_h = jnp.stack([size - box[..., 2], box[..., 1],
+                           size - box[..., 0], box[..., 3]], -1)
+        box = jnp.where(sel_h[:, None, None], box_h, box)
+        img = jnp.where(sel_v[:, None, None, None], jnp.flip(img, 1), img)
+        box_v = jnp.stack([box[..., 0], size - box[..., 3],
+                           box[..., 2], size - box[..., 1]], -1)
+        box = jnp.where(sel_v[:, None, None], box_v, box)
+        box = jnp.where(val, box, 0.0)
+        out = {**b, "images": img, "boxes": box}
+        if "masks" in b:
+            msk = b["masks"]
+            msk = jnp.where(sel_h[:, None, None, None],
+                            jnp.flip(msk, 3), msk)
+            msk = jnp.where(sel_v[:, None, None, None],
+                            jnp.flip(msk, 2), msk)
+            out["masks"] = msk
+        return out
+
+    key = jax.random.PRNGKey(seed)
+    while True:
+        key, sub = jax.random.split(key)
+        yield draw(store, sub)

@@ -200,3 +200,51 @@ def test_hard_rib_phantom_distribution():
     counts = {frontal_rib_phantom(rng, 320, hard=True)[1].shape[0]
               for _ in range(6)}
     assert len(counts) >= 3
+
+
+def test_device_batches_shapes_dtypes_and_flip_coherence():
+    """Device-resident batcher must match the host batcher's contract
+    (keys/dtypes/shapes) and keep image/box/mask flips coherent."""
+    from eitx.train.data import device_batches
+
+    n, imgsz, bs = 4, 32, 3
+    data = {
+        "images": np.zeros((n, imgsz, imgsz, 3), np.uint8),
+        "boxes": np.zeros((n, 2, 4), np.float32),
+        "classes": np.zeros((n, 2), np.int32),
+        "masks": np.zeros((n, 2, imgsz // 2, imgsz // 2), np.uint8),
+        "valid": np.zeros((n, 2), bool),
+    }
+    for i in range(n):
+        data["images"][i] = i  # flip-invariant sample tag
+        data["masks"][i] = i
+        data["boxes"][i, 0] = [i + 1.0, i + 2.0, i + 10.0, i + 20.0]
+        data["valid"][i, 0] = True
+
+    # augment off: every sample must be an exact original (gather only)
+    b = next(device_batches(data, bs, imgsz, seed=1, augment=False))
+    assert set(b) == set(data)
+    for k in data:
+        assert b[k].dtype == data[k].dtype, k
+        assert b[k].shape == (bs,) + data[k].shape[1:], k
+    for s in range(bs):
+        i = int(np.asarray(b["images"][s, 0, 0, 0]))
+        np.testing.assert_array_equal(np.asarray(b[k][s]), data[k][i])
+        np.testing.assert_array_equal(np.asarray(b["boxes"][s]),
+                                      data["boxes"][i])
+
+    # forced horizontal flip: boxes mirror, tags still identify samples,
+    # invalid slots stay zeroed
+    b = next(device_batches(data, bs, imgsz, seed=2, augment=True,
+                            flip_h_prob=1.0, flip_v_prob=0.0))
+    for s in range(bs):
+        i = int(np.asarray(b["images"][s, 0, 0, 0]))
+        assert int(np.asarray(b["masks"][s, 0, 0, 0])) == i
+        exp = [imgsz - (i + 10.0), i + 2.0, imgsz - (i + 1.0), i + 20.0]
+        np.testing.assert_allclose(np.asarray(b["boxes"][s, 0]), exp)
+        np.testing.assert_array_equal(np.asarray(b["boxes"][s, 1]), 0.0)
+
+    # detection-only store (no masks key) must also work
+    det = {k: v for k, v in data.items() if k != "masks"}
+    b = next(device_batches(det, bs, imgsz, seed=3))
+    assert "masks" not in b and b["images"].shape[0] == bs
