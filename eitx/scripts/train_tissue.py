@@ -190,18 +190,33 @@ def main(argv=None):
     data.pop("labels", None)
     log.info("data ready in %.1fs", time.time() - t0)
 
+    # the LR schedule is indexed by the optimizer count, which a resume
+    # restores from the checkpoint — total_steps must extend past it or
+    # the cosine tail evaluates to ~0 LR and the continuation is a no-op
+    start_step = 0
+    if args.resume:
+        from ..train.checkpoint import peek_step
+
+        start_step = peek_step(args.out + ".train")
     cfg = TrainConfig(
         imgsz=args.imgsz, variant=args.variant, lr=args.lr,
-        total_steps=args.steps, warmup_steps=min(100, args.steps // 10),
+        total_steps=start_step + args.steps,
+        warmup_steps=min(100, args.steps // 10),
         max_instances=12, mask_topk=args.mask_topk,
     )
     trainer = Trainer(cfg)
     if args.resume:
+        import optax as _optax
+
         from ..train.checkpoint import load_checkpoint
 
         trainer.state = load_checkpoint(args.out + ".train", trainer.state)
-        log.info("resumed TrainState from %s.train at step %d",
-                 args.out, trainer.state.step)
+        lr_now = float(_optax.warmup_cosine_decay_schedule(
+            0.0, cfg.lr, cfg.warmup_steps, cfg.total_steps
+        )(trainer.state.step))
+        log.info("resumed TrainState from %s.train at step %d "
+                 "(lr here %.2e, decaying to 0 over %d more steps)",
+                 args.out, trainer.state.step, lr_now, args.steps)
     elif args.init_from:
         import jax as _jax
 

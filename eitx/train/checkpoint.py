@@ -25,6 +25,20 @@ def save_checkpoint(path: str, state: TrainState) -> str:
     return path
 
 
+def peek_step(path: str) -> int:
+    """The step recorded in a ``.train`` checkpoint.
+
+    Callers that resume MUST read this BEFORE building the Trainer: the
+    LR schedule is indexed by the optimizer count restored from the
+    checkpoint, so a resumed run has to extend ``total_steps`` past that
+    count or the cosine tail evaluates to ~0 and every continued step is
+    a no-op.
+    """
+    with open(path, "rb") as fh:
+        tree = serialization.msgpack_restore(fh.read())
+    return int(tree["step"])
+
+
 def load_checkpoint(path: str, like: TrainState) -> TrainState:
     """Restore into the structure of an existing TrainState (shapes from a
     freshly built Trainer)."""

@@ -248,3 +248,44 @@ def test_device_batches_shapes_dtypes_and_flip_coherence():
     det = {k: v for k, v in data.items() if k != "masks"}
     b = next(device_batches(det, bs, imgsz, seed=3))
     assert "masks" not in b and b["images"].shape[0] == bs
+
+
+def test_resume_schedule_extends_past_restored_count(tmp_path):
+    """A resumed run must keep a live LR: restoring an optimizer count of
+    N into a schedule with total_steps <= N pins the cosine tail at ~0
+    and silently turns the whole continuation into a no-op (the bug that
+    burned the first s-256 continuation)."""
+    import optax
+
+    from eitx.train.checkpoint import load_checkpoint, peek_step, save_checkpoint
+
+    cfg = TrainConfig(imgsz=IMG, variant="n", total_steps=20, warmup_steps=0,
+                      lr=1e-3, max_instances=4)
+    tr = Trainer(cfg)
+    batch = synthetic_ct_batch(batch=2, imgsz=IMG, max_instances=4, seed=1)
+    for _ in range(3):
+        tr.train_step(batch)
+    path = str(tmp_path / "ck.msgpack.train")
+    save_checkpoint(path, tr.state)
+    start = peek_step(path)
+    assert start == 3
+
+    # the train_tissue --resume recipe: extend total_steps by the restored count
+    more = 10
+    cfg2 = TrainConfig(imgsz=IMG, variant="n", total_steps=start + more,
+                       warmup_steps=0, lr=1e-3, max_instances=4)
+    tr2 = Trainer(cfg2)
+    tr2.state = load_checkpoint(path, tr2.state)
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, cfg2.lr, cfg2.warmup_steps, cfg2.total_steps)
+    assert float(sched(tr2.state.step)) > 0.1 * cfg2.lr
+    # and the continued steps actually move the params
+    p0 = jax.device_get(tr2.state.params)
+    tr2.train_step(batch)
+    moved = jax.tree_util.tree_reduce(
+        lambda a, b: a or b,
+        jax.tree_util.tree_map(
+            lambda a, b: bool(np.any(a != b)), p0,
+            jax.device_get(tr2.state.params)),
+    )
+    assert moved
