@@ -237,6 +237,44 @@ def peek_checkpoint_meta(path: str, tree: Dict = None) -> Dict:
     return dict(meta) if isinstance(meta, dict) else {}
 
 
+def merge_state_dict(template, state):
+    """Tolerant warm start: copy every leaf of ``state`` whose path AND
+    shape match into ``template`` (a fresh-init param/stat tree); every
+    other template leaf keeps its fresh initialization.
+
+    ``flax.serialization.from_state_dict`` demands an exact structural
+    match, which breaks warm starting across architecture extensions
+    (e.g. a ``proto_stride=2`` graph adds proto_upsample2/proto_cv2b and
+    reshapes proto_cv3 — everything else is transferable). Returns
+    ``(merged, copied_paths, skipped_paths)`` so callers can log exactly
+    which layers started fresh.
+    """
+    from collections.abc import Mapping
+
+    copied, skipped = [], []
+
+    def rec(t, s, path):
+        if isinstance(t, Mapping):
+            out = {}
+            for k, v in t.items():
+                if isinstance(s, Mapping) and k in s:
+                    out[k] = rec(v, s[k], path + (k,))
+                else:
+                    skipped.append("/".join(path + (k,)))
+                    out[k] = v
+            return out
+        arr = np.asarray(s)
+        tarr = np.asarray(t)
+        if tuple(arr.shape) == tuple(tarr.shape):
+            copied.append("/".join(path))
+            return arr.astype(tarr.dtype)
+        skipped.append("/".join(path))
+        return t
+
+    merged = rec(dict(template), state, ())
+    return merged, copied, skipped
+
+
 def load_weights(pt_path: str, model, imgsz: int = 512, tree: Dict = None):
     """Convenience: checkpoint path -> jnp variables ready for apply().
 

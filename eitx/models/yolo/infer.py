@@ -61,6 +61,7 @@ class YoloRunner:
         segment: bool,
         weights: Optional[str] = None,
         variant: str = "s",
+        proto_stride: int = 4,
         conf: float = 0.3,
         iou: float = 0.45,
         max_det: int = 64,
@@ -80,12 +81,16 @@ class YoloRunner:
             meta = peek_checkpoint_meta(weights, tree=ckpt_tree)
             if meta.get("variant"):
                 variant = str(meta["variant"])
+            if meta.get("proto_stride"):
+                proto_stride = int(meta["proto_stride"])
             if meta.get("nc") and int(meta["nc"]) != nc:
                 raise ModelError(
                     f"checkpoint {weights} was trained with nc="
                     f"{meta['nc']}, runner expects nc={nc}"
                 )
-        self.spec = yolov11_spec(variant, nc=nc, segment=segment)
+        self.spec = yolov11_spec(
+            variant, nc=nc, segment=segment, proto_stride=proto_stride
+        )
         self.model = YoloV11(self.spec)
         self.imgsz = imgsz
         self.conf = conf

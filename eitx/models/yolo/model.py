@@ -29,6 +29,13 @@ class YoloSpec:
     reg_max: int = 16
     nm: int = 32  # mask coefficients (segment)
     npr: int = 256  # proto channels base
+    # proto mask-grid stride: 4 = ultralytics Proto (P3 + one 2x upsample);
+    # 2 adds a second upsample stage — thin structures (bone, fat rims)
+    # are resolution-bound at stride 4 (measured: n- and s-capacity tie
+    # at the same bone/fat IoU floor), so the extra resolution, not extra
+    # width, is the quality lever. Not a reference architecture: eitx
+    # extension, recorded in checkpoint meta and adopted on load.
+    proto_stride: int = 4
     width: float = 0.50
     depth: float = 0.50
     max_channels: int = 1024
@@ -42,7 +49,8 @@ class YoloSpec:
 
 
 def yolov11_spec(
-    variant: str = "s", nc: int = 4, segment: bool = True
+    variant: str = "s", nc: int = 4, segment: bool = True,
+    proto_stride: int = 4,
 ) -> YoloSpec:
     scales = {
         # depth, width, max_channels (ultralytics yolo11.yaml scales)
@@ -53,8 +61,11 @@ def yolov11_spec(
         "x": (1.00, 1.50, 512),
     }
     d, w, mc = scales[variant]
+    if proto_stride not in (2, 4):
+        raise ValueError(f"proto_stride must be 2 or 4, got {proto_stride}")
     return YoloSpec(
-        nc=nc, width=w, depth=d, max_channels=mc, segment=segment
+        nc=nc, width=w, depth=d, max_channels=mc, segment=segment,
+        proto_stride=proto_stride,
     )
 
 
@@ -103,6 +114,16 @@ class DetectBranches(nn.Module):
                 name="proto_upsample",
             )(p)
             p = Conv(c_, 3, name="proto_cv2")(p, train)
+            if s.proto_stride == 2:
+                # second upsample stage (eitx extension, see YoloSpec):
+                # half the channels at 4x the pixels keeps the stage
+                # cheaper than the stride-4 trunk it follows
+                c2_ = max(c_ // 2, s.nm)
+                p = nn.ConvTranspose(
+                    c2_, (2, 2), strides=(2, 2), transpose_kernel=True,
+                    name="proto_upsample2",
+                )(p)
+                p = Conv(c2_, 3, name="proto_cv2b")(p, train)
             proto = Conv(s.nm, 1, name="proto_cv3")(p, train)
         return outs, masks, proto
 

@@ -130,6 +130,11 @@ def main(argv=None):
     p.add_argument("--mask-topk", type=int, default=160,
                    help="mask loss over only the K best positive anchors "
                         "(0 = all-anchor legacy path)")
+    p.add_argument("--proto-stride", type=int, default=4, choices=(2, 4),
+                   help="proto mask-grid stride; 2 = high-res proto head "
+                        "(eitx extension — bone/fat are resolution-bound "
+                        "at stride 4). Recorded in checkpoint meta and "
+                        "adopted automatically at inference")
     p.add_argument("--data-seed", type=int, default=0,
                    help="phantom pregeneration seed (use a fresh seed "
                         "when continuing training from a checkpoint so "
@@ -203,6 +208,7 @@ def main(argv=None):
         total_steps=start_step + args.steps,
         warmup_steps=min(100, args.steps // 10),
         max_instances=12, mask_topk=args.mask_topk,
+        proto_stride=args.proto_stride,
     )
     trainer = Trainer(cfg)
     if args.resume:
@@ -220,16 +226,22 @@ def main(argv=None):
     elif args.init_from:
         import jax as _jax
 
-        from ..models.yolo.convert import restore_checkpoint_tree
+        from ..models.yolo.convert import merge_state_dict, restore_checkpoint_tree
         from ..train.trainer import TrainState
 
         tree = restore_checkpoint_tree(args.init_from)
-        params = serialization.from_state_dict(
+        # tolerant merge: layers the checkpoint doesn't cover (e.g. the
+        # extra proto stage when warm-starting a --proto-stride 2 graph
+        # from a stride-4 checkpoint) keep their fresh initialization
+        params, _, missed = merge_state_dict(
             _jax.device_get(trainer.state.params), tree["params"]
         )
+        if missed:
+            log.info("warm start left %d params fresh: %s", len(missed),
+                     ", ".join(sorted({m.split("/")[0] for m in missed})))
         stats = trainer.state.batch_stats
         if tree.get("batch_stats"):
-            stats = serialization.from_state_dict(
+            stats, _, _ = merge_state_dict(
                 _jax.device_get(stats), tree["batch_stats"]
             )
         params = _jax.device_put(params)
@@ -273,6 +285,7 @@ def main(argv=None):
             "variant": args.variant, "imgsz": args.imgsz, "nc": 4,
             "steps": args.steps, "final_loss": float(metrics["loss"]),
             "mask_res": mask_res, "mask_topk": args.mask_topk,
+            "proto_stride": args.proto_stride,
         },
     }
     with open(args.out, "wb") as fh:

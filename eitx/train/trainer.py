@@ -60,6 +60,9 @@ class TrainConfig:
     # resolution is taken from batch["masks"] and the proto is bilinearly
     # upsampled to it inside the loss when they differ.
     mask_topk: int = 0
+    # proto mask-grid stride (see YoloSpec.proto_stride): 2 trains the
+    # high-resolution proto head
+    proto_stride: int = 4
 
 
 @dataclass
@@ -159,7 +162,8 @@ class Trainer:
     ):
         self.cfg = cfg
         self.mesh = mesh
-        spec = yolov11_spec(cfg.variant, nc=cfg.nc, segment=cfg.segment)
+        spec = yolov11_spec(cfg.variant, nc=cfg.nc, segment=cfg.segment,
+                            proto_stride=cfg.proto_stride)
         self.model = YoloV11(spec)
         variables = self.model.init(
             jax.random.PRNGKey(seed),

@@ -3,6 +3,7 @@ import os
 import zipfile
 
 import numpy as np
+import pytest
 
 from eitx.scripts.pseudo_label import (
     HU_RANGES,
@@ -171,15 +172,21 @@ def test_devtools_split_and_polyline(tmp_path):
 
 def test_devtools_lung_overlay(tmp_path):
     """scripts/test_lungmask.py equivalent: lung contours over a DICOM
-    slice via eitx's own segmenter (random weights are fine — the test
-    checks wiring, not quality)."""
+    slice via eitx's own segmenter. lung_overlay refuses random weights
+    (it would draw garbage contours), so drive it with the trained 256
+    checkpoint — the net is fully convolutional, so it runs at imgsz=64;
+    the test checks wiring, not quality."""
+    from eitx.core.weights import find_checkpoint
     from eitx.io.dicom import write_dicom
     from eitx.scripts.devtools import lung_overlay
 
+    ckpt = find_checkpoint("tissue", 256)
+    if ckpt is None:
+        pytest.skip("no trained tissue checkpoint in weights/")
     hu, _ = _phantom_hu(96, 96)
     px = (hu - (-1024.0)).astype(np.uint16)
     p = tmp_path / "s.dcm"
     p.write_bytes(write_dicom(px, series_uid="1.2.3", instance_number=1,
                               rescale_intercept=-1024.0, rescale_slope=1.0))
-    overlay = lung_overlay(str(p), weights=None, imgsz=64)
+    overlay = lung_overlay(str(p), weights=ckpt, imgsz=64)
     assert overlay.shape == (96, 96, 3) and overlay.dtype == np.uint8

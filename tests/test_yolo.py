@@ -449,3 +449,47 @@ def test_segment_labels_quality_path():
     thr = seg.segment_labels(imgs, chunk=64, compose_full=False)
     agree = (q_whole == thr).mean()
     assert agree > 0.9, agree
+
+
+def test_proto_stride2_shapes_and_meta_adoption(tmp_path):
+    """proto_stride=2 doubles the proto grid; a checkpoint recording it is
+    rebuilt with the high-res head automatically, and the tolerant warm
+    start transfers everything except the new proto stage."""
+    from flax import serialization
+
+    from eitx.models.yolo.convert import merge_state_dict
+    from eitx.models.yolo.model import YoloV11, yolov11_spec
+
+    spec2 = yolov11_spec("n", nc=4, segment=True, proto_stride=2)
+    model2 = YoloV11(spec2)
+    v2 = model2.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+    )
+    out = model2.apply(v2, jnp.zeros((1, 64, 64, 3)), train=False)
+    assert out["proto"].shape == (1, 32, 32, 32)  # stride 2, not 4
+
+    # warm start stride-2 graph from a stride-4 checkpoint: backbone/neck/
+    # heads copy over, the new proto stage (and reshaped cv3) start fresh
+    spec4 = yolov11_spec("n", nc=4, segment=True, proto_stride=4)
+    v4 = YoloV11(spec4).init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3), jnp.float32)
+    )
+    merged, copied, skipped = merge_state_dict(
+        jax.device_get(v2["params"]), jax.device_get(v4["params"])
+    )
+    assert copied and skipped
+    assert all("proto" in s for s in skipped)
+
+    # a checkpoint carrying proto_stride=2 meta drives the right graph
+    payload = {
+        "params": jax.device_get(v2["params"]),
+        "batch_stats": jax.device_get(v2.get("batch_stats", {})),
+        "meta": {"variant": "n", "imgsz": 64, "nc": 4, "proto_stride": 2},
+    }
+    path = str(tmp_path / "hr.msgpack")
+    with open(path, "wb") as fh:
+        fh.write(serialization.msgpack_serialize(payload))
+    seg = TissueSegmenter(imgsz=64, weights=path)
+    assert seg.spec.proto_stride == 2
+    lab = seg.segment_labels(np.zeros((2, 64, 64), np.uint8))
+    assert lab.shape == (2, 64, 64)
