@@ -272,6 +272,37 @@ def bench_segmentation(batch=128, imgsz=512, repeats=5):
     return batch / min(e2e), batch / min(dev), link_mbps, mfu
 
 
+def bench_serving_segmentation(batch=128, imgsz=512, repeats=5):
+    """Device slices/s of the checkpoint the service actually resolves
+    (trained weights, meta-recorded variant/proto_stride — currently the
+    n-capacity high-res-proto graph). The headline bench above measures a
+    fixed random-init s/stride-4 graph so the number stays comparable
+    across rounds; this one tracks what production serves. Returns
+    (slices_per_sec_device, checkpoint_basename) or (None, None)."""
+    import jax.numpy as jnp
+
+    from eitx.core.weights import find_checkpoint
+    from eitx.models.yolo.infer import TissueSegmenter
+
+    ckpt = find_checkpoint("tissue", imgsz)
+    if ckpt is None:
+        return None, None
+    seg = TissueSegmenter(imgsz=imgsz, weights=ckpt, max_det=64,
+                          dtype="bfloat16")
+    imgs = (np.random.default_rng(0).uniform(0, 255, (batch, imgsz, imgsz))
+            ).astype(np.uint8)
+    seg.segment_labels(imgs)  # compile
+    fn = seg._segment_labels_fn
+    x_dev = jnp.asarray(imgs)
+    np.asarray(fn(x_dev).sum())  # warm
+    dev = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        np.asarray(fn(x_dev).sum())
+        dev.append(time.perf_counter() - t0)
+    return batch / min(dev), os.path.basename(ckpt)
+
+
 def bench_eit_batch(n_subjects=8, frames=1200):
     """Batched same-bucket subject generation: ONE vmapped Cholesky+eigh
     setup for all subjects (LowRankSpectralSolver.build_batch).
@@ -377,6 +408,11 @@ def main():
     except Exception as e:  # segmentation bench is best-effort
         print(f"segmentation bench skipped: {e}", file=sys.stderr)
         seg_fps, seg_dev_fps, link_mbps, seg_mfu = None, None, None, {}
+    try:
+        srv_fps, srv_ckpt = bench_serving_segmentation()
+    except Exception as e:  # serving-model bench is best-effort
+        print(f"serving segmentation bench skipped: {e}", file=sys.stderr)
+        srv_fps, srv_ckpt = None, None
 
     bf16_peak, f32_peak, peak_known = _chip_peak_flops()
 
@@ -417,6 +453,10 @@ def main():
         "h2d_link_mbytes_per_sec": (
             round(link_mbps, 1) if link_mbps else None
         ),
+        "serving_seg_slices_per_sec_device": (
+            round(srv_fps, 1) if srv_fps else None
+        ),
+        "serving_seg_checkpoint": srv_ckpt,
         "segmentation_link_ceiling_slices_per_sec": (
             round(link_mbps * 1e6 / (512 * 512), 1) if link_mbps else None
         ),
