@@ -274,8 +274,8 @@ def bench_segmentation(batch=128, imgsz=512, repeats=5):
 
 def bench_serving_segmentation(batch=128, imgsz=512, repeats=5):
     """Device slices/s of the checkpoint the service actually resolves
-    (trained weights, meta-recorded variant/proto_stride — currently the
-    n-capacity high-res-proto graph). The headline bench above measures a
+    (trained weights; the graph follows whatever variant/proto_stride the
+    resolved slot's meta carries). The headline bench above measures a
     fixed random-init s/stride-4 graph so the number stays comparable
     across rounds; this one tracks what production serves. Returns
     (slices_per_sec_device, checkpoint_basename) or (None, None)."""

@@ -246,12 +246,16 @@ def merge_state_dict(template, state):
     match, which breaks warm starting across architecture extensions
     (e.g. a ``proto_stride=2`` graph adds proto_upsample2/proto_cv2b and
     reshapes proto_cv3 — everything else is transferable). Returns
-    ``(merged, copied_paths, skipped_paths)`` so callers can log exactly
-    which layers started fresh.
+    ``(merged, copied_paths, skipped_paths, unused_paths)``: ``skipped``
+    are template leaves left at fresh init, ``unused`` are CHECKPOINT
+    leaves with no matching/same-shape home in the template — a non-empty
+    ``unused`` usually means trained weights are being dropped (e.g.
+    warm-starting a stride-4 graph from a stride-2 checkpoint because
+    ``--proto-stride 2`` was forgotten), so callers should log it loudly.
     """
     from collections.abc import Mapping
 
-    copied, skipped = [], []
+    copied, skipped, unused = [], [], []
 
     def rec(t, s, path):
         if isinstance(t, Mapping):
@@ -262,6 +266,10 @@ def merge_state_dict(template, state):
                 else:
                     skipped.append("/".join(path + (k,)))
                     out[k] = v
+            if isinstance(s, Mapping):
+                for k in s:
+                    if k not in t:
+                        unused.append("/".join(path + (k,)))
             return out
         arr = np.asarray(s)
         tarr = np.asarray(t)
@@ -269,10 +277,11 @@ def merge_state_dict(template, state):
             copied.append("/".join(path))
             return arr.astype(tarr.dtype)
         skipped.append("/".join(path))
+        unused.append("/".join(path))
         return t
 
     merged = rec(dict(template), state, ())
-    return merged, copied, skipped
+    return merged, copied, skipped, unused
 
 
 def load_weights(pt_path: str, model, imgsz: int = 512, tree: Dict = None):

@@ -172,7 +172,7 @@ def main(argv=None):
     val = rib_batch(args.batch, args.imgsz, 24, np.random.default_rng(555))
     metrics, ema_params = fit(
         trainer,
-        device_batches(data, args.batch, args.imgsz),
+        device_batches(data, args.batch),
         steps=args.steps,
         checkpoint_path=args.out + ".train",
         checkpoint_every=max(200, args.steps // 4),

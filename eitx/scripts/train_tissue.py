@@ -34,40 +34,6 @@ def pregenerate(n: int, imgsz: int, max_instances: int, seed: int,
                          rich=rich, mask_res=mask_res, store_u8=store_u8)
 
 
-def _flip_samples(b, imgsz: int, axis: int, sel: np.ndarray):
-    """In-place horizontal (axis=2) / vertical (axis=1) flip of the
-    ``sel``-masked samples of a minibatch (per-sample augmentation)."""
-    if not sel.any():
-        return
-    b["images"][sel] = np.flip(b["images"][sel], axis=axis)
-    b["masks"][sel] = np.flip(b["masks"][sel], axis=axis + 1)
-    boxes = b["boxes"][sel]
-    lo, hi = (0, 2) if axis == 2 else (1, 3)
-    new = boxes.copy()
-    new[..., lo] = imgsz - boxes[..., hi]
-    new[..., hi] = imgsz - boxes[..., lo]
-    b["boxes"][sel] = np.where(b["valid"][sel][..., None], new, 0.0)
-
-
-def batches_from(data, batch, seed=0, augment=True):
-    """Shuffle-cycle minibatches from a pregenerated sample store, with
-    PER-SAMPLE random flip augmentation (4x effective variety; per-sample
-    draws keep samples within a batch decorrelated)."""
-    n = data["images"].shape[0]
-    imgsz = data["images"].shape[1]
-    rng = np.random.default_rng(seed)
-    keys = ["images", "boxes", "classes", "masks", "valid"]
-    while True:
-        order = rng.permutation(n)
-        for k0 in range(0, n - batch + 1, batch):
-            idx = order[k0 : k0 + batch]
-            b = {k: data[k][idx] for k in keys}
-            if augment:
-                _flip_samples(b, imgsz, 2, rng.random(batch) < 0.5)
-                _flip_samples(b, imgsz, 1, rng.random(batch) < 0.25)
-            yield b
-
-
 def evaluate_checkpoint(
     ckpt_path: str, imgsz: int, variant: str, n_eval: int = 32,
     seed: int = 777, rich: bool = False,
@@ -159,6 +125,10 @@ def main(argv=None):
                         "cache/flag consistency (imgsz, rich, mask-res, "
                         "seed are NOT hashed into the file).")
     args = p.parse_args(argv)
+    if args.resume and args.init_from:
+        p.error("--resume and --init-from conflict: --resume restores "
+                "the full TrainState from <out>.train and would silently "
+                "ignore --init-from")
     mask_res = args.mask_res or args.imgsz // 2
     logging.basicConfig(level=logging.INFO)
     log = logging.getLogger("eitx.train_tissue")
@@ -198,11 +168,15 @@ def main(argv=None):
     # the LR schedule is indexed by the optimizer count, which a resume
     # restores from the checkpoint — total_steps must extend past it or
     # the cosine tail evaluates to ~0 LR and the continuation is a no-op
-    start_step = 0
+    start_step, resume_tree = 0, None
     if args.resume:
-        from ..train.checkpoint import peek_step
+        from ..models.yolo.convert import restore_checkpoint_tree
 
-        start_step = peek_step(args.out + ".train")
+        # one msgpack decode serves both the step peek (needed BEFORE the
+        # Trainer so the LR schedule extends past the restored count) and
+        # the state restore below
+        resume_tree = restore_checkpoint_tree(args.out + ".train")
+        start_step = int(resume_tree["step"])
     cfg = TrainConfig(
         imgsz=args.imgsz, variant=args.variant, lr=args.lr,
         total_steps=start_step + args.steps,
@@ -216,7 +190,8 @@ def main(argv=None):
 
         from ..train.checkpoint import load_checkpoint
 
-        trainer.state = load_checkpoint(args.out + ".train", trainer.state)
+        trainer.state = load_checkpoint(args.out + ".train", trainer.state,
+                                        tree=resume_tree)
         lr_now = float(_optax.warmup_cosine_decay_schedule(
             0.0, cfg.lr, cfg.warmup_steps, cfg.total_steps
         )(trainer.state.step))
@@ -233,15 +208,22 @@ def main(argv=None):
         # tolerant merge: layers the checkpoint doesn't cover (e.g. the
         # extra proto stage when warm-starting a --proto-stride 2 graph
         # from a stride-4 checkpoint) keep their fresh initialization
-        params, _, missed = merge_state_dict(
+        params, _, missed, unused = merge_state_dict(
             _jax.device_get(trainer.state.params), tree["params"]
         )
         if missed:
             log.info("warm start left %d params fresh: %s", len(missed),
                      ", ".join(sorted({m.split("/")[0] for m in missed})))
+        if unused:
+            log.warning(
+                "warm start DROPPED %d trained checkpoint tensors with no "
+                "home in this graph (wrong --proto-stride/--variant?): %s",
+                len(unused),
+                ", ".join(sorted({u.split("/")[-1] for u in unused})[:8]),
+            )
         stats = trainer.state.batch_stats
         if tree.get("batch_stats"):
-            stats, _, _ = merge_state_dict(
+            stats, _, _, _ = merge_state_dict(
                 _jax.device_get(stats), tree["batch_stats"]
             )
         params = _jax.device_put(params)
@@ -264,7 +246,10 @@ def main(argv=None):
 
     metrics, ema_params = fit(
         trainer,
-        device_batches(data, args.batch, args.imgsz),
+        # seed offset by the restored step: a --resume continuation draws
+        # a fresh batch stream instead of replaying the original prefix
+        device_batches(data, args.batch,
+                       seed=args.data_seed + start_step),
         steps=args.steps,
         checkpoint_path=args.out + ".train",
         checkpoint_every=max(200, args.steps // 4),
@@ -283,7 +268,9 @@ def main(argv=None):
         "batch_stats": jax.device_get(trainer.state.batch_stats),
         "meta": {
             "variant": args.variant, "imgsz": args.imgsz, "nc": 4,
-            "steps": args.steps, "final_loss": float(metrics["loss"]),
+            # total optimizer steps across all resumes, not this run's
+            "steps": int(trainer.state.step),
+            "final_loss": float(metrics["loss"]),
             "mask_res": mask_res, "mask_topk": args.mask_topk,
             "proto_stride": args.proto_stride,
         },

@@ -39,18 +39,23 @@ def peek_step(path: str) -> int:
     return int(tree["step"])
 
 
-def load_checkpoint(path: str, like: TrainState) -> TrainState:
+def load_checkpoint(path: str, like: TrainState, tree=None) -> TrainState:
     """Restore into the structure of an existing TrainState (shapes from a
-    freshly built Trainer)."""
-    with open(path, "rb") as fh:
-        raw = fh.read()
+    freshly built Trainer). Pass ``tree`` (an already msgpack-restored
+    payload) to avoid re-reading the file — resume flows decode the
+    checkpoint once for the step peek and reuse it here."""
     template = {
         "params": jax.device_get(like.params),
         "batch_stats": jax.device_get(like.batch_stats),
         "opt_state": jax.device_get(like.opt_state),
         "step": like.step,
     }
-    restored = serialization.from_bytes(template, raw)
+    if tree is None:
+        with open(path, "rb") as fh:
+            raw = fh.read()
+        restored = serialization.from_bytes(template, raw)
+    else:
+        restored = serialization.from_state_dict(template, tree)
     return TrainState(
         params=restored["params"],
         batch_stats=restored["batch_stats"],

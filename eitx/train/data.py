@@ -67,7 +67,6 @@ def synthetic_ct_batch(
 def device_batches(
     data: Dict[str, np.ndarray],
     batch: int,
-    imgsz: int,
     seed: int = 0,
     augment: bool = True,
     flip_h_prob: float = 0.5,
@@ -87,12 +86,17 @@ def device_batches(
     3k-sample 256^2 store is ~3 GB and fits HBM comfortably; on-device
     gathers move nothing over the link.
 
-    Yields device-array dicts with the same keys/dtypes as the host
-    batcher (``train_tissue.batches_from``): images u8 / masks u8 /
-    boxes f32 / classes i32 / valid bool. A ``masks`` key is optional
-    (detection-only stores). Sampling is i.i.d. uniform with
-    replacement, vs the host batcher's epoch shuffles — statistically
-    equivalent over the multi-epoch budgets used here.
+    The flip mirror coordinate comes from the store's own image size
+    (a cache written at a different imgsz than the run's flag would
+    otherwise silently corrupt every flipped box). Resumed runs pass a
+    ``seed`` derived from the restored step so a continuation draws a
+    fresh batch stream instead of replaying the original run's prefix.
+
+    Yields device-array dicts with the same keys/dtypes as the old host
+    batcher: images u8 / masks u8 / boxes f32 / classes i32 / valid
+    bool. A ``masks`` key is optional (detection-only stores). Sampling
+    is i.i.d. uniform with replacement, vs an epoch shuffle —
+    statistically equivalent over the multi-epoch budgets used here.
     """
     import jax
     import jax.numpy as jnp
@@ -102,7 +106,7 @@ def device_batches(
     store = {k: jax.device_put(np.ascontiguousarray(data[k]))
              for k in keys}
     n = int(store["images"].shape[0])
-    size = float(imgsz)
+    size = float(data["images"].shape[1])
 
     @jax.jit
     def draw(store, key):

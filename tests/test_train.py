@@ -222,20 +222,19 @@ def test_device_batches_shapes_dtypes_and_flip_coherence():
         data["valid"][i, 0] = True
 
     # augment off: every sample must be an exact original (gather only)
-    b = next(device_batches(data, bs, imgsz, seed=1, augment=False))
+    b = next(device_batches(data, bs, seed=1, augment=False))
     assert set(b) == set(data)
     for k in data:
         assert b[k].dtype == data[k].dtype, k
         assert b[k].shape == (bs,) + data[k].shape[1:], k
     for s in range(bs):
         i = int(np.asarray(b["images"][s, 0, 0, 0]))
-        np.testing.assert_array_equal(np.asarray(b[k][s]), data[k][i])
-        np.testing.assert_array_equal(np.asarray(b["boxes"][s]),
-                                      data["boxes"][i])
+        for k in data:  # every field of slot s comes from sample i
+            np.testing.assert_array_equal(np.asarray(b[k][s]), data[k][i])
 
     # forced horizontal flip: boxes mirror, tags still identify samples,
     # invalid slots stay zeroed
-    b = next(device_batches(data, bs, imgsz, seed=2, augment=True,
+    b = next(device_batches(data, bs, seed=2, augment=True,
                             flip_h_prob=1.0, flip_v_prob=0.0))
     for s in range(bs):
         i = int(np.asarray(b["images"][s, 0, 0, 0]))
@@ -246,7 +245,7 @@ def test_device_batches_shapes_dtypes_and_flip_coherence():
 
     # detection-only store (no masks key) must also work
     det = {k: v for k, v in data.items() if k != "masks"}
-    b = next(device_batches(det, bs, imgsz, seed=3))
+    b = next(device_batches(det, bs, seed=3))
     assert "masks" not in b and b["images"].shape[0] == bs
 
 

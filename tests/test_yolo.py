@@ -474,11 +474,16 @@ def test_proto_stride2_shapes_and_meta_adoption(tmp_path):
     v4 = YoloV11(spec4).init(
         jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3), jnp.float32)
     )
-    merged, copied, skipped = merge_state_dict(
+    merged, copied, skipped, unused = merge_state_dict(
         jax.device_get(v2["params"]), jax.device_get(v4["params"])
     )
     assert copied and skipped
     assert all("proto" in s for s in skipped)
+    # and the reverse direction reports the dropped trained tensors
+    _, _, _, unused_rev = merge_state_dict(
+        jax.device_get(v4["params"]), jax.device_get(v2["params"])
+    )
+    assert unused_rev and all("proto" in u for u in unused_rev)
 
     # a checkpoint carrying proto_stride=2 meta drives the right graph
     payload = {
