@@ -170,3 +170,30 @@ def test_multipart_streaming_parser():
     assert _parse_multipart_stream(
         reader2, f"multipart/form-data; boundary={boundary}"
     ).read() == tricky
+
+
+def test_ui_page_served_and_consistent_with_routes(server):
+    """/ui serves the built-in frontend (component 22: five-mode radio,
+    drag-drop upload, client-side STORE-zip writer) and every endpoint
+    the page's JS can POST to actually exists in the server's route
+    table — the cross-consistency that would break silently if a route
+    were renamed on one side only."""
+    import re
+
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{server.port}/ui"
+    ) as resp:
+        assert resp.status == 200
+        assert "text/html" in resp.headers.get("Content-Type", "")
+        html = resp.read().decode()
+
+    radios = re.findall(r'input type=radio name=mode value="([^"]+)"', html)
+    assert len(radios) == 5  # the reference's five modes (front.py:52-242)
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{server.port}/health"
+    ) as resp:
+        endpoints = set(json.loads(resp.read())["endpoints"])
+    assert set(radios) <= endpoints, (set(radios) - endpoints)
+    # client-side zip writer + custom_input.txt side channel present
+    assert "makeZip" in html and "0x04034b50" in html
+    assert "custom_input.txt" in html
