@@ -101,6 +101,10 @@ def main(argv=None):
                         "(eitx extension — bone/fat are resolution-bound "
                         "at stride 4). Recorded in checkpoint meta and "
                         "adopted automatically at inference")
+    p.add_argument("--mask-class-weights", default=None,
+                   help="comma-separated per-class mask-loss weights "
+                        "(bone,muscles,lung,fat), e.g. '1.5,0.8,0.8,1.6'; "
+                        "upweights lagging classes, keep the mean ~1")
     p.add_argument("--data-seed", type=int, default=0,
                    help="phantom pregeneration seed (use a fresh seed "
                         "when continuing training from a checkpoint so "
@@ -129,6 +133,10 @@ def main(argv=None):
         p.error("--resume and --init-from conflict: --resume restores "
                 "the full TrainState from <out>.train and would silently "
                 "ignore --init-from")
+    if args.mask_class_weights and \
+            len(args.mask_class_weights.split(",")) != 4:
+        p.error("--mask-class-weights needs exactly 4 values "
+                "(bone,muscles,lung,fat)")
     mask_res = args.mask_res or args.imgsz // 2
     logging.basicConfig(level=logging.INFO)
     log = logging.getLogger("eitx.train_tissue")
@@ -183,6 +191,10 @@ def main(argv=None):
         warmup_steps=min(100, args.steps // 10),
         max_instances=12, mask_topk=args.mask_topk,
         proto_stride=args.proto_stride,
+        mask_class_w=(
+            tuple(float(w) for w in args.mask_class_weights.split(","))
+            if args.mask_class_weights else None
+        ),
     )
     trainer = Trainer(cfg)
     if args.resume:

@@ -63,6 +63,12 @@ class TrainConfig:
     # proto mask-grid stride (see YoloSpec.proto_stride): 2 trains the
     # high-resolution proto head
     proto_stride: int = 4
+    # per-class mask-loss weights (len-nc tuple): each positive anchor's
+    # mask BCE is scaled by the weight of its target's class. The lever
+    # for lagging classes (bone/fat trail lung/muscles by 15+ IoU points).
+    # Keep the weights averaging ~1 so the balance vs mask_w is preserved;
+    # None = uniform (bit-identical to the unweighted loss).
+    mask_class_w: Optional[tuple] = None
 
 
 @dataclass
@@ -349,7 +355,12 @@ class Trainer:
                 barea = jnp.clip(
                     (bxp[:, 2] - bxp[:, 0]) * (bxp[:, 3] - bxp[:, 1]), 1.0
                 )
-                l_mask = ((bce.sum((1, 2)) / barea) * pos_s).sum() / n_pos
+                lm = (bce.sum((1, 2)) / barea) * pos_s
+                if cfg.mask_class_w is not None:
+                    lm = lm * jnp.asarray(cfg.mask_class_w, pm.dtype)[
+                        classes[tgt_s]
+                    ]
+                l_mask = lm.sum() / n_pos
             else:
                 l_mask = jnp.float32(0.0)
             return l_cls, l_box, l_dfl, l_mask

@@ -288,3 +288,31 @@ def test_resume_schedule_extends_past_restored_count(tmp_path):
             jax.device_get(tr2.state.params)),
     )
     assert moved
+
+def test_mask_class_weights():
+    """Per-class mask-loss weighting (TrainConfig.mask_class_w): uniform
+    1.0 weights are bit-identical to None, a uniform scale multiplies the
+    mask term linearly, and a single-class upweight lands strictly
+    between (so the weight really indexes by target class)."""
+    batch = synthetic_ct_batch(batch=2, imgsz=IMG, max_instances=4, seed=3)
+    present = np.unique(np.asarray(batch["classes"])[np.asarray(batch["valid"])])
+    c = int(present[0])
+    # the center-radius assigner has positives at random init (TAL's
+    # align score is ~0 until the boxes train, zeroing the mask term)
+    kw = dict(imgsz=IMG, variant="n", total_steps=10, warmup_steps=0,
+              lr=5e-3, max_instances=4, assigner="center")
+
+    tr = Trainer(TrainConfig(**kw))
+    base = float(tr.eval_loss(batch)["mask"])
+    assert base > 0.0
+
+    def masked(mask_class_w):
+        t2 = Trainer(TrainConfig(mask_class_w=mask_class_w, **kw))
+        t2.state = tr.state  # identical params: isolate the loss change
+        return float(t2.eval_loss(batch)["mask"])
+
+    assert masked((1.0, 1.0, 1.0, 1.0)) == pytest.approx(base, rel=1e-6)
+    assert masked((4.0,) * 4) == pytest.approx(4.0 * base, rel=1e-4)
+    w = [1.0] * 4
+    w[c] = 4.0
+    assert base < masked(tuple(w)) < 4.0 * base
