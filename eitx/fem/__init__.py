@@ -10,6 +10,7 @@ from .sheffield import (
     sheffield_monitoring,
     sheffield_solve_admittance,
 )
+from .greit import GreitImager, greit_monitoring
 from .inverse import DifferenceImager, gauss_newton_absolute, reconstruct_monitoring
 from .forward import (
     compact_mesh_nodes,
@@ -36,6 +37,8 @@ __all__ = [
     "forward_solve_admittance",
     "simulate_eit_spectroscopy",
     "DifferenceImager",
+    "GreitImager",
+    "greit_monitoring",
     "gauss_newton_absolute",
     "reconstruct_monitoring",
     "electrode_averaging_matrix",

@@ -1,0 +1,218 @@
+"""GREIT reconstruction: a trained linear imaging matrix for the MXU.
+
+Beyond the reference (which only *generates* forward EIT datasets —
+synthetic_datasets_generator.py) and beyond the one-step / Gauss-Newton
+solvers in inverse.py: the Graz consensus Reconstruction algorithm for
+EIT (Adler et al., "GREIT: a unified approach to 2D linear EIT
+reconstruction of lung images", Physiol. Meas. 30 (2009) S35-S55) — the
+de-facto standard for real-time lung monitoring, i.e. for exactly the
+breathing datasets this framework produces.
+
+GREIT *trains* a linear reconstruction matrix R offline so that R y_k
+matches a desired blurred image x_k for a battery of simulated point
+targets y_k; online, imaging is a single matmul:
+
+    images (T, P, P)  =  reshape( dv (T, n_meas)  @  R^T )
+
+No per-frame factorization, no iteration — a whole breathing monitoring
+reconstructs as ONE (T, n_meas) x (n_meas, P^2) matmul, which is the
+MXU's favourite shape.
+
+TPU-first design decisions:
+  - Training measurements Y come from the adjoint Jacobian
+    (inverse._difference_jacobian) with columns rescaled to equal-AREA
+    targets (the raw Jacobian column measures a whole element, so finer
+    mesh regions would otherwise train weaker responses).
+  - Desired images are compact quadratic bumps max(0, 1 - (d/r)^2)
+    rasterized on the pixel grid (smooth edges condition the fit better
+    than hard disks).
+  - The train solve is one measurement-space Cholesky
+    (n_meas^2 ~ 208^2 for the 16-electrode adjacent protocol), identical
+    in shape to the DifferenceImager factor.
+  - Everything (Jacobian, rasterization, containment mask, solve) is one
+    jit program; build once per mesh, reconstruct forever.
+
+No counterpart exists in the reference repo — implemented against the
+published algorithm (the reference's datasets are its intended input).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .assembly import element_geometry
+from .inverse import _difference_jacobian
+
+
+@functools.partial(jax.jit, static_argnames=("npx",))
+def _pixels_inside(nodes, tris, xs, ys, npx: int):
+    """(npx, npx) bool: pixel centers covered by at least one element.
+
+    Barycentric sign test against every element — (P^2, M, 3) ops, tiny
+    at GREIT sizes (32^2 x few-thousand elements)."""
+    p = nodes[tris]  # (M, 3, 2)
+    gx, gy = jnp.meshgrid(xs, ys)  # (npx, npx)
+    q = jnp.stack([gx.ravel(), gy.ravel()], -1)  # (P^2, 2)
+    a, b, c = p[:, 0], p[:, 1], p[:, 2]  # (M, 2)
+
+    def cross(o, d, pt):  # sign of (d-o) x (pt-o): (P^2, M)
+        return (d[:, 0] - o[:, 0]) * (pt[:, None, 1] - o[None, :, 1]) - (
+            d[:, 1] - o[:, 1]
+        ) * (pt[:, None, 0] - o[None, :, 0])
+
+    s1, s2, s3 = cross(a, b, q), cross(b, c, q), cross(c, a, q)
+    inside = ((s1 >= 0) & (s2 >= 0) & (s3 >= 0)) | (
+        (s1 <= 0) & (s2 <= 0) & (s3 <= 0)
+    )
+    return inside.any(axis=1).reshape(npx, npx)
+
+
+@functools.partial(jax.jit, static_argnames=("npx",))
+def _train_matrix(jac, cent, area, xs, ys, r_img, lam, npx: int):
+    """R (P^2, n_meas) from the target battery (one element = one target)."""
+    with jax.default_matmul_precision("highest"):
+        # equal-area targets: rescale each Jacobian column from "this
+        # element's area" to the median target area
+        a0 = jnp.median(area)
+        Y = jac * (a0 / jnp.maximum(area, 1e-12))[None, :]  # (n_meas, M)
+        # desired images: compact quadratic bump at each target centroid
+        gx, gy = jnp.meshgrid(xs, ys)
+        pix = jnp.stack([gx.ravel(), gy.ravel()], -1)  # (P^2, 2)
+        d2 = ((pix[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        X = jnp.clip(1.0 - d2 / (r_img * r_img), 0.0)  # (P^2, M)
+        G = Y @ Y.T
+        reg = lam * jnp.mean(jnp.diag(G))
+        G = G + reg * jnp.eye(G.shape[0], dtype=G.dtype)
+        c, _ = jax.scipy.linalg.cho_factor(G)
+        W = jax.scipy.linalg.cho_solve((c, False), Y)  # (n_meas, M)
+        return X @ W.T  # (P^2, n_meas)
+
+
+@jax.jit
+def _apply(R, mask, dv):
+    with jax.default_matmul_precision("highest"):
+        flat = dv.reshape(-1, R.shape[1])
+        img = flat @ R.T  # (T, P^2)
+        npx = mask.shape[0]
+        return img.reshape(*dv.shape[:-1], npx, npx) * mask
+
+
+@dataclass
+class GreitImager:
+    """Trained GREIT matrix: per-frame reconstruction is one matvec."""
+
+    R: jnp.ndarray  # (npx*npx, n_meas_total)
+    mask: np.ndarray  # (npx, npx) bool, pixels inside the meshed domain
+    extent: tuple  # (xmin, xmax, ymin, ymax) of the pixel grid
+    npx: int
+
+    def reconstruct(self, dv) -> np.ndarray:
+        """dv (..., n_meas_total) -> images (..., npx, npx); pixels
+        outside the domain are zeroed. Positive values = conductivity
+        INCREASE vs the reference frame (same sign as DifferenceImager)."""
+        return np.asarray(
+            _apply(self.R, jnp.asarray(self.mask, self.R.dtype),
+                   jnp.asarray(dv, jnp.float32))
+        )
+
+    @classmethod
+    def build(
+        cls,
+        nodes: np.ndarray,
+        tris: np.ndarray,
+        sigma_ref: np.ndarray,
+        el_pos,
+        ex_mat,
+        meas_mat,
+        npx: int = 32,
+        blur: float = 0.12,
+        lam: float = 0.05,
+        ref_node: int = 0,
+    ) -> "GreitImager":
+        """Train R around ``sigma_ref`` on this mesh.
+
+        Args:
+          npx: pixel-grid resolution (GREIT's canonical 32).
+          blur: desired-image radius as a fraction of the domain's larger
+            side (controls the trained point-spread width).
+          lam: relative Tikhonov weight of the measurement-space solve
+            (scaled by mean diag(Y Y^T), dimensionless); larger = smoother
+            images and better noise rejection (GREIT's noise-figure knob).
+        """
+        nodes_j = jnp.asarray(nodes, jnp.float32)
+        tris_j = jnp.asarray(tris, jnp.int32)
+        jac = _difference_jacobian(
+            nodes_j, tris_j, jnp.asarray(sigma_ref, jnp.float32),
+            jnp.asarray(el_pos), jnp.asarray(ex_mat), jnp.asarray(meas_mat),
+            nodes.shape[0], ref_node,
+        )
+        _, area = element_geometry(nodes_j, tris_j)
+        cent = nodes_j[tris_j].mean(axis=1)  # (M, 2)
+        xmin, ymin = np.asarray(nodes).min(0)
+        xmax, ymax = np.asarray(nodes).max(0)
+        # pixel CENTERS: half-pixel inset so corners sample inside the bbox
+        xs = jnp.linspace(xmin, xmax, npx + 1)[:-1] + (xmax - xmin) / (
+            2 * npx
+        )
+        ys = jnp.linspace(ymin, ymax, npx + 1)[:-1] + (ymax - ymin) / (
+            2 * npx
+        )
+        r_img = jnp.float32(blur * max(xmax - xmin, ymax - ymin))
+        R = _train_matrix(jac, cent, area, xs, ys, r_img,
+                          jnp.float32(lam), npx)
+        mask = np.asarray(_pixels_inside(nodes_j, tris_j, xs, ys, npx))
+        return cls(R=R, mask=mask, extent=(float(xmin), float(xmax),
+                                           float(ymin), float(ymax)),
+                   npx=npx)
+
+
+def greit_monitoring(
+    mesh_data,
+    v_frames: np.ndarray,
+    classes=None,
+    cfg=None,
+    npx: int = 32,
+    blur: float = 0.12,
+    lam: float = 0.05,
+    ref_frame: int = 0,
+):
+    """GREIT-image a whole monitoring produced by the forward pipeline.
+
+    Mirrors inverse.reconstruct_monitoring but returns pixel-grid images:
+      (images (T, npx, npx), imager)
+    """
+    import math
+
+    from ..core.config import ClassMap, SimulationConfig
+    from ..physio.materials import get_materials, tissue_conductivities
+    from .electrodes import place_electrodes_equal_spacing
+    from .forward import compact_mesh_nodes, prepare_mesh_info
+    from .protocol import create_protocol
+
+    classes = classes or ClassMap()
+    cfg = cfg or SimulationConfig()
+    info = compact_mesh_nodes(prepare_mesh_info(mesh_data, classes))
+    mats = get_materials()
+    base = tissue_conductivities(mats, cfg.frequency_hz, classes.id_to_name())
+    sigma_ref = np.array(
+        [base[classes.id_to_name()[int(c)]] for c in info.cond], np.float64
+    )
+    el = place_electrodes_equal_spacing(
+        info.node, info.element, cfg.n_electrodes,
+        starting_angle=math.radians(cfg.starting_angle_deg),
+    )
+    proto = create_protocol(
+        cfg.n_electrodes, cfg.dist_exc, cfg.step_meas, cfg.parser_meas
+    )
+    imager = GreitImager.build(
+        info.node, info.element, sigma_ref, el, proto.ex_mat, proto.meas_mat,
+        npx=npx, blur=blur, lam=lam,
+    )
+    v = jnp.asarray(v_frames, jnp.float32)
+    dv = v - v[ref_frame][None]
+    return imager.reconstruct(dv), imager

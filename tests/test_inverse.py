@@ -113,3 +113,72 @@ def test_gauss_newton_absolute_recovers_inclusion():
     assert sigma[blob].mean() > 1.25 * sigma[~blob].mean(), (
         sigma[blob].mean(), sigma[~blob].mean(),
     )
+
+def test_greit_localizes_target_on_pixel_grid():
+    """GREIT (trained linear matrix): a conductive blob must image as a
+    positive peak at the right pixel, with the background quiet and every
+    outside-domain pixel exactly zero."""
+    from eitx.fem.greit import GreitImager
+
+    nodes, tris = disk_mesh(48, 7)
+    el = place_electrodes_equal_spacing(nodes, tris, 16, starting_angle=np.pi)
+    proto = create_protocol(16, 1, 1, "std")
+    sigma0 = np.full(tris.shape[0], 0.3)
+    cent = nodes[tris].mean(axis=1)
+    true_c = np.array([0.35, 0.2])
+    blob = np.linalg.norm(cent - true_c, axis=1) < 0.25
+    sigma1 = sigma0.copy()
+    sigma1[blob] = 0.45
+
+    v0 = forward_solve_oracle(nodes, tris, sigma0, el, proto.ex_mat,
+                              proto.meas_mat).ravel()
+    v1 = forward_solve_oracle(nodes, tris, sigma1, el, proto.ex_mat,
+                              proto.meas_mat).ravel()
+
+    im = GreitImager.build(nodes, tris, sigma0, el, proto.ex_mat,
+                           proto.meas_mat, npx=32)
+    img = im.reconstruct(v1 - v0)
+    assert img.shape == (32, 32)
+    assert np.isfinite(img).all()
+    # the domain mask is a disk: ~pi/4 of the square grid, and zeroed out
+    frac = im.mask.mean()
+    assert 0.6 < frac < 0.9, frac
+    assert (img[~im.mask] == 0).all()
+    # peak pixel within the desired-image radius of the true center
+    iy, ix = np.unravel_index(np.argmax(img), img.shape)
+    xmin, xmax, ymin, ymax = im.extent
+    px = xmin + (ix + 0.5) * (xmax - xmin) / 32
+    py = ymin + (iy + 0.5) * (ymax - ymin) / 32
+    assert np.hypot(px - true_c[0], py - true_c[1]) < 0.35, (px, py)
+    # conductive increase images positive, and the peak dominates the
+    # opposite half of the domain (quiet background)
+    peak = img[iy, ix]
+    assert peak > 0
+    far = im.mask & (np.add.outer(
+        (ymin + (np.arange(32) + 0.5) * (ymax - ymin) / 32 - true_c[1]) ** 2,
+        (xmin + (np.arange(32) + 0.5) * (xmax - xmin) / 32 - true_c[0]) ** 2,
+    ) > 1.0)
+    assert np.abs(img[far]).max() < 0.5 * peak
+
+
+def test_greit_monitoring_breathing_modulates_lungs():
+    """End-to-end: GREIT-image a simulated breathing monitoring; the
+    pixels over the lung region must modulate more than the rest."""
+    from eitx.core.config import SimulationConfig
+    from eitx.fem import greit_monitoring, simulate_eit_monitoring
+
+    nodes, tris, cls = disk_mesh_with_classes(48, 6)
+    mesh = {"NODES": nodes * 100.0, "TRIANGLES": tris, "CLASS": cls}
+    cfg = SimulationConfig(n_points=8, pad_nodes_to=256, pad_elems_to=512)
+    v, _ = simulate_eit_monitoring(mesh, cfg)
+    imgs, im = greit_monitoring(mesh, v, cfg=cfg)
+    assert imgs.shape == (8, 32, 32) and np.isfinite(imgs).all()
+    # map lung-element centroids to pixel indices
+    cent = (nodes * 100.0)[tris].mean(axis=1)
+    xmin, xmax, ymin, ymax = im.extent
+    ix = np.clip(((cent[:, 0] - xmin) / (xmax - xmin) * 32).astype(int), 0, 31)
+    iy = np.clip(((cent[:, 1] - ymin) / (ymax - ymin) * 32).astype(int), 0, 31)
+    lungpix = np.zeros((32, 32), bool)
+    lungpix[iy[cls == 2], ix[cls == 2]] = True
+    var = imgs.var(axis=0)
+    assert var[lungpix].mean() > var[im.mask & ~lungpix].mean()
