@@ -3,7 +3,7 @@
 The mesh examples (building_floorplan.py & co.) stop at triangulation;
 this one continues through the physics: tissue-classified mesh -> batched
 forward solves over a breathing cycle -> voltage dataset -> difference
-images — the library equivalent of the reference's full
+images and GREIT pixel images — the library equivalent of the reference's full
 simulate_EIT_monitoring_pyeit path (synthetic_datasets_generator.py:300)
 plus the beyond-reference inverse step.
 
@@ -18,7 +18,11 @@ import numpy as np
 sys.path.insert(0, ".")
 
 from eitx.core.config import SimulationConfig  # noqa: E402
-from eitx.fem import reconstruct_monitoring, simulate_eit_monitoring  # noqa: E402
+from eitx.fem import (  # noqa: E402
+    greit_monitoring,
+    reconstruct_monitoring,
+    simulate_eit_monitoring,
+)
 from eitx.fem.forward import simulate_eit_monitoring_subjects  # noqa: E402
 from eitx.mesh import create_mesh  # noqa: E402
 
@@ -67,6 +71,18 @@ def main(out_dir=".", lc=7.0, n_points=100):
     #    conductivity change between expiration and inspiration frames
     dsigma, _ = reconstruct_monitoring(mesh, v, cfg=cfg)
     print(f"reconstruction: {dsigma.shape} element-space difference images")
+
+    # 3b. GREIT: the consensus real-time lung-imaging matrix — after the
+    #     one-time train, every frame is a single matvec. Save the
+    #     monitoring as a grayscale image strip.
+    imgs, gim = greit_monitoring(mesh, v, cfg=cfg)
+    strip = np.concatenate(list(imgs[:: max(1, len(imgs) // 8)][:8]), axis=1)
+    lim = max(float(np.abs(strip).max()), 1e-12)
+    strip8 = ((strip / lim) * 127.5 + 127.5).astype(np.uint8)
+    from eitx.io.images import to_png_bytes
+    with open(f"{out_dir}/greit_strip.png", "wb") as fh:
+        fh.write(to_png_bytes(np.repeat(strip8[..., None], 3, axis=-1)))
+    print(f"GREIT: {imgs.shape} pixel-space images -> greit_strip.png")
 
     # 4. population scale-out: same API, many subjects; same-bucket
     #    subjects share one vmapped (low-rank) spectral setup

@@ -33,3 +33,4 @@ def test_eit_monitoring_example(tmp_path, monkeypatch):
     assert v.shape[0] == 4 and np.isfinite(v).all()
     assert dsigma.shape[0] == 4 and np.isfinite(dsigma).all()
     assert (tmp_path / "monitoring.dat").exists()
+    assert (tmp_path / "greit_strip.png").stat().st_size > 0
