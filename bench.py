@@ -385,6 +385,55 @@ def bench_eit_batch(n_subjects=8, frames=1200):
     return spectral_fps, n_subjects * 3600.0 / dt
 
 
+def bench_greit(mesh, frames=12000, repeats=3):
+    """GREIT linear imaging rate: images/sec for device-resident voltage
+    frames through the trained reconstruction matrix (one matmul — the
+    real-time bedside-monitor path), plus the one-time matrix build.
+    Scalar readback forces execution without paying the 49 MB/12k-frame
+    image d2h on the relay link."""
+    import jax.numpy as jnp
+
+    from eitx.core.config import ClassMap, SimulationConfig
+    from eitx.fem.greit import GreitImager, _apply
+    from eitx.fem.electrodes import place_electrodes_equal_spacing
+    from eitx.fem.forward import compact_mesh_nodes, prepare_mesh_info
+    from eitx.fem.protocol import create_protocol
+    from eitx.physio.materials import (
+        generate_material_tables,
+        tissue_conductivities,
+    )
+
+    classes = ClassMap()
+    cfg = SimulationConfig()
+    info = compact_mesh_nodes(prepare_mesh_info(mesh, classes))
+    mats = generate_material_tables()
+    base = tissue_conductivities(mats, cfg.frequency_hz, classes.id_to_name())
+    sigma_ref = np.array(
+        [base[classes.id_to_name()[int(c)]] for c in info.cond], np.float64
+    )
+    el = place_electrodes_equal_spacing(
+        info.node, info.element, 16, starting_angle=np.pi
+    )
+    proto = create_protocol(16, 1, 1, "std")
+    t0 = time.perf_counter()
+    im = GreitImager.build(info.node, info.element, sigma_ref, el,
+                           proto.ex_mat, proto.meas_mat)
+    im.R.block_until_ready()
+    t_build = time.perf_counter() - t0
+    dv = jnp.asarray(
+        np.random.default_rng(0).standard_normal(
+            (frames, im.R.shape[1])).astype(np.float32)
+    )
+    mask = jnp.asarray(im.mask, im.R.dtype)
+    np.asarray(_apply(im.R, mask, dv).sum())  # compile + warm
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        np.asarray(_apply(im.R, mask, dv).sum())
+        ts.append(time.perf_counter() - t0)
+    return frames / min(ts), t_build
+
+
 def main():
     from eitx.core.cache import enable_compilation_cache
 
@@ -413,6 +462,11 @@ def main():
     except Exception as e:  # serving-model bench is best-effort
         print(f"serving segmentation bench skipped: {e}", file=sys.stderr)
         srv_fps, srv_ckpt = None, None
+    try:
+        greit_fps, greit_build_s = bench_greit(mesh)
+    except Exception as e:  # GREIT bench is best-effort
+        print(f"GREIT bench skipped: {e}", file=sys.stderr)
+        greit_fps, greit_build_s = None, None
 
     bf16_peak, f32_peak, peak_known = _chip_peak_flops()
 
@@ -468,6 +522,14 @@ def main():
         ),
         "batched_subjects_per_hour": (
             round(subjects_per_hour, 1) if subjects_per_hour else None
+        ),
+        # GREIT real-time imaging: device-resident frames through the
+        # trained linear matrix (one matmul per monitoring)
+        "greit_images_per_sec_device": (
+            round(greit_fps, 1) if greit_fps else None
+        ),
+        "greit_matrix_build_seconds": (
+            round(greit_build_s, 3) if greit_build_s else None
         ),
         # MFU: XLA cost_analysis FLOPs of the exact compiled programs /
         # measured phase seconds / chip peak. f32 peak assumed bf16/4
