@@ -182,3 +182,36 @@ def test_greit_monitoring_breathing_modulates_lungs():
     lungpix[iy[cls == 2], ix[cls == 2]] = True
     var = imgs.var(axis=0)
     assert var[lungpix].mean() > var[im.mask & ~lungpix].mean()
+
+
+def test_greit_noise_robustness():
+    """GREIT's regularized train must keep localizing under measurement
+    noise at 20% of the signal's std (the regime where the raw
+    measurement-space inverse goes unstable)."""
+    from eitx.fem.greit import GreitImager
+
+    nodes, tris = disk_mesh(48, 7)
+    el = place_electrodes_equal_spacing(nodes, tris, 16, starting_angle=np.pi)
+    proto = create_protocol(16, 1, 1, "std")
+    sigma0 = np.full(tris.shape[0], 0.3)
+    cent = nodes[tris].mean(axis=1)
+    true_c = np.array([0.35, 0.2])
+    blob = np.linalg.norm(cent - true_c, axis=1) < 0.25
+    sigma1 = sigma0.copy()
+    sigma1[blob] = 0.45
+    v0 = forward_solve_oracle(nodes, tris, sigma0, el, proto.ex_mat,
+                              proto.meas_mat).ravel()
+    v1 = forward_solve_oracle(nodes, tris, sigma1, el, proto.ex_mat,
+                              proto.meas_mat).ravel()
+    dv = v1 - v0
+    rng = np.random.default_rng(7)
+    noisy = dv + 0.2 * dv.std() * rng.standard_normal(dv.shape)
+
+    im = GreitImager.build(nodes, tris, sigma0, el, proto.ex_mat,
+                           proto.meas_mat, npx=32)
+    img = im.reconstruct(noisy)
+    iy, ix = np.unravel_index(np.argmax(img), img.shape)
+    xmin, xmax, ymin, ymax = im.extent
+    px = xmin + (ix + 0.5) * (xmax - xmin) / 32
+    py = ymin + (iy + 0.5) * (ymax - ymin) / 32
+    assert np.hypot(px - true_c[0], py - true_c[1]) < 0.35, (px, py)
