@@ -393,28 +393,10 @@ def bench_greit(mesh, frames=12000, repeats=3):
     image d2h on the relay link."""
     import jax.numpy as jnp
 
-    from eitx.core.config import ClassMap, SimulationConfig
     from eitx.fem.greit import GreitImager, _apply
-    from eitx.fem.electrodes import place_electrodes_equal_spacing
-    from eitx.fem.forward import compact_mesh_nodes, prepare_mesh_info
-    from eitx.fem.protocol import create_protocol
-    from eitx.physio.materials import (
-        generate_material_tables,
-        tissue_conductivities,
-    )
+    from eitx.fem.inverse import monitoring_linearization
 
-    classes = ClassMap()
-    cfg = SimulationConfig()
-    info = compact_mesh_nodes(prepare_mesh_info(mesh, classes))
-    mats = generate_material_tables()
-    base = tissue_conductivities(mats, cfg.frequency_hz, classes.id_to_name())
-    sigma_ref = np.array(
-        [base[classes.id_to_name()[int(c)]] for c in info.cond], np.float64
-    )
-    el = place_electrodes_equal_spacing(
-        info.node, info.element, 16, starting_angle=np.pi
-    )
-    proto = create_protocol(16, 1, 1, "std")
+    info, sigma_ref, el, proto = monitoring_linearization(mesh)
     t0 = time.perf_counter()
     im = GreitImager.build(info.node, info.element, sigma_ref, el,
                            proto.ex_mat, proto.meas_mat)

@@ -186,28 +186,10 @@ def greit_monitoring(
     Mirrors inverse.reconstruct_monitoring but returns pixel-grid images:
       (images (T, npx, npx), imager)
     """
-    import math
+    from .inverse import monitoring_linearization
 
-    from ..core.config import ClassMap, SimulationConfig
-    from ..physio.materials import get_materials, tissue_conductivities
-    from .electrodes import place_electrodes_equal_spacing
-    from .forward import compact_mesh_nodes, prepare_mesh_info
-    from .protocol import create_protocol
-
-    classes = classes or ClassMap()
-    cfg = cfg or SimulationConfig()
-    info = compact_mesh_nodes(prepare_mesh_info(mesh_data, classes))
-    mats = get_materials()
-    base = tissue_conductivities(mats, cfg.frequency_hz, classes.id_to_name())
-    sigma_ref = np.array(
-        [base[classes.id_to_name()[int(c)]] for c in info.cond], np.float64
-    )
-    el = place_electrodes_equal_spacing(
-        info.node, info.element, cfg.n_electrodes,
-        starting_angle=math.radians(cfg.starting_angle_deg),
-    )
-    proto = create_protocol(
-        cfg.n_electrodes, cfg.dist_exc, cfg.step_meas, cfg.parser_meas
+    info, sigma_ref, el, proto = monitoring_linearization(
+        mesh_data, classes, cfg
     )
     imager = GreitImager.build(
         info.node, info.element, sigma_ref, el, proto.ex_mat, proto.meas_mat,

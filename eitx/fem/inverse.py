@@ -129,25 +129,12 @@ def _reconstruct(jac, c, dv):
         return ds.reshape(*dv.shape[:-1], jac.shape[1])
 
 
-def reconstruct_monitoring(
-    mesh_data,
-    v_frames: np.ndarray,
-    classes=None,
-    cfg=None,
-    lam: float = 1e-3,
-    ref_frame: int = 0,
-):
-    """Reconstruct per-element conductivity CHANGES for a whole monitoring.
-
-    Args:
-      mesh_data: NODES/TRIANGLES/CLASS dict (the forward pipeline's mesh).
-      v_frames: (T, n_exc * n_meas) voltage rows (e.g. a .dat file's
-        unique frames).
-      ref_frame: index of the reference (baseline) frame.
-    Returns:
-      (dsigma (T, M), imager) — images of the breathing-induced
-      conductivity change per element.
-    """
+def monitoring_linearization(mesh_data, classes=None, cfg=None):
+    """Shared prep for linear imaging of a pipeline mesh: returns
+    (info, sigma_ref, el_pos, protocol) — the compacted mesh, the
+    tissue-table reference conductivities, equally-spaced electrodes, and
+    the measurement protocol, all from the same config defaults the
+    forward simulation used."""
     import math
 
     from ..core.config import ClassMap, SimulationConfig
@@ -170,6 +157,31 @@ def reconstruct_monitoring(
     )
     proto = create_protocol(
         cfg.n_electrodes, cfg.dist_exc, cfg.step_meas, cfg.parser_meas
+    )
+    return info, sigma_ref, el, proto
+
+
+def reconstruct_monitoring(
+    mesh_data,
+    v_frames: np.ndarray,
+    classes=None,
+    cfg=None,
+    lam: float = 1e-3,
+    ref_frame: int = 0,
+):
+    """Reconstruct per-element conductivity CHANGES for a whole monitoring.
+
+    Args:
+      mesh_data: NODES/TRIANGLES/CLASS dict (the forward pipeline's mesh).
+      v_frames: (T, n_exc * n_meas) voltage rows (e.g. a .dat file's
+        unique frames).
+      ref_frame: index of the reference (baseline) frame.
+    Returns:
+      (dsigma (T, M), imager) — images of the breathing-induced
+      conductivity change per element.
+    """
+    info, sigma_ref, el, proto = monitoring_linearization(
+        mesh_data, classes, cfg
     )
     imager = DifferenceImager.build(
         info.node, info.element, sigma_ref, el, proto.ex_mat, proto.meas_mat,
