@@ -171,6 +171,54 @@ class GreitImager:
                    npx=npx)
 
 
+def figures_of_merit(img: np.ndarray, imager: GreitImager,
+                     target_xy) -> dict:
+    """GREIT figures of merit for ONE reconstructed image of a small
+    target (Adler et al. 2009, §Figures of merit), computed on the
+    quarter-amplitude pixel set q = {img >= 0.25 max(img)}:
+
+      ar  — amplitude response: sum of image values over q
+      pe  — position error: |target center - centroid(q)|, in mesh units
+      res — resolution: sqrt(area(q) / area(domain))
+      sd  — shape deformation: fraction of q outside the equal-area
+            circle centered on q's centroid
+      rng — ringing: opposite-sign image mass just outside that circle,
+            relative to the in-circle mass
+
+    Host-side numpy analysis (32x32 images — not a device workload).
+    """
+    img = np.asarray(img, np.float64)
+    mask = np.asarray(imager.mask)
+    npx = imager.npx
+    xmin, xmax, ymin, ymax = imager.extent
+    px = xmin + (np.arange(npx) + 0.5) * (xmax - xmin) / npx
+    py = ymin + (np.arange(npx) + 0.5) * (ymax - ymin) / npx
+    gx, gy = np.meshgrid(px, py)
+    pix_area = (xmax - xmin) / npx * (ymax - ymin) / npx
+
+    peak = img.max()
+    q = (img >= 0.25 * peak) & mask
+    w = img * q
+    tot = max(w.sum(), 1e-12)
+    cx = (gx * w).sum() / tot
+    cy = (gy * w).sum() / tot
+    a_q = q.sum() * pix_area
+    a_dom = mask.sum() * pix_area
+    r_eq = np.sqrt(a_q / np.pi)  # equal-area circle radius
+    d = np.hypot(gx - cx, gy - cy)
+    inside_c = (d <= r_eq) & mask
+    # ringing ring: just outside the equal-area circle (out to 2x radius)
+    ring = (d > r_eq) & (d <= 2.0 * r_eq) & mask
+    pos_mass = max(img[inside_c].clip(0).sum(), 1e-12)
+    return {
+        "ar": float(w.sum()),
+        "pe": float(np.hypot(cx - target_xy[0], cy - target_xy[1])),
+        "res": float(np.sqrt(a_q / a_dom)),
+        "sd": float((q & ~inside_c).sum() / max(q.sum(), 1)),
+        "rng": float((-img[ring]).clip(0).sum() / pos_mass),
+    }
+
+
 def greit_monitoring(
     mesh_data,
     v_frames: np.ndarray,

@@ -215,3 +215,41 @@ def test_greit_noise_robustness():
     px = xmin + (ix + 0.5) * (xmax - xmin) / 32
     py = ymin + (iy + 0.5) * (ymax - ymin) / 32
     assert np.hypot(px - true_c[0], py - true_c[1]) < 0.35, (px, py)
+
+
+def test_greit_figures_of_merit_radial_sweep():
+    """GREIT FOMs (Adler et al. 2009) over a radial target sweep on the
+    unit disk: position error bounded everywhere, resolution in the
+    published ballpark, modest ringing, and amplitude response uniform
+    within a factor ~2 from center to 0.7R (the paper's uniformity aim)."""
+    from eitx.fem.greit import GreitImager, figures_of_merit
+
+    nodes, tris = disk_mesh(48, 7)
+    el = place_electrodes_equal_spacing(nodes, tris, 16, starting_angle=np.pi)
+    proto = create_protocol(16, 1, 1, "std")
+    sigma0 = np.full(tris.shape[0], 0.3)
+    cent = nodes[tris].mean(axis=1)
+    v0 = forward_solve_oracle(nodes, tris, sigma0, el, proto.ex_mat,
+                              proto.meas_mat).ravel()
+    im = GreitImager.build(nodes, tris, sigma0, el, proto.ex_mat,
+                           proto.meas_mat, npx=32)
+
+    foms = []
+    for r in (0.0, 0.3, 0.5, 0.7):
+        tc = np.array([r, 0.0])
+        blob = np.linalg.norm(cent - tc, axis=1) < 0.18
+        sigma1 = sigma0.copy()
+        sigma1[blob] = 0.42
+        v1 = forward_solve_oracle(nodes, tris, sigma1, el, proto.ex_mat,
+                                  proto.meas_mat).ravel()
+        img = im.reconstruct(v1 - v0)
+        foms.append(figures_of_merit(img, im, tc))
+
+    for r, f in zip((0.0, 0.3, 0.5, 0.7), foms):
+        assert f["pe"] < 0.22, (r, f)          # within ~1 target radius
+        assert 0.1 < f["res"] < 0.6, (r, f)
+        assert f["rng"] < 0.8, (r, f)
+        assert f["sd"] < 0.5, (r, f)
+        assert f["ar"] > 0, (r, f)
+    ars = np.array([f["ar"] for f in foms])
+    assert ars.max() / ars.min() < 2.5, ars    # amplitude uniformity
