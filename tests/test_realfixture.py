@@ -209,3 +209,27 @@ def test_recorded_electrodes_drive_sheffield_averaging():
     assert W.shape == (16, nodes.shape[0])
     assert np.allclose(W.sum(axis=1), 1.0, atol=1e-9)
     assert (W >= 0).all()
+
+
+def test_real_slice_greit_images_lungs(real_mesh):
+    """GREIT on the patient-derived geometry: train the linear matrix on
+    the real mesh, image a simulated breathing run, and check the lung
+    pixels modulate more than the rest of the body."""
+    from eitx.core.config import SimulationConfig
+    from eitx.fem import greit_monitoring, simulate_eit_monitoring
+
+    cfg = SimulationConfig(n_points=8, n_spir=1, n_minutes=1)
+    v, _ = simulate_eit_monitoring(real_mesh, cfg)
+    imgs, im = greit_monitoring(real_mesh, v, cfg=cfg)
+    assert imgs.shape == (8, 32, 32) and np.isfinite(imgs).all()
+    nodes = np.asarray(real_mesh["NODES"], np.float64)
+    tris = np.asarray(real_mesh["TRIANGLES"])
+    cls = np.asarray(real_mesh["CLASS"])
+    cent = nodes[tris].mean(axis=1)
+    xmin, xmax, ymin, ymax = im.extent
+    ix = np.clip(((cent[:, 0] - xmin) / (xmax - xmin) * 32).astype(int), 0, 31)
+    iy = np.clip(((cent[:, 1] - ymin) / (ymax - ymin) * 32).astype(int), 0, 31)
+    lungpix = np.zeros((32, 32), bool)
+    lungpix[iy[cls == 2], ix[cls == 2]] = True
+    var = imgs.var(axis=0)
+    assert var[lungpix].mean() > var[im.mask & ~lungpix].mean()
