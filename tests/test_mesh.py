@@ -162,3 +162,55 @@ def test_render_mesh_shape():
     img = render_mesh(nodes, tris, cls)
     assert img.shape == (1000, 1000, 3)
     assert img.max() > 0
+
+
+def test_create_mesh_random_polygon_fuzz():
+    """Robustness net for the native mesher + classifier: blobby random
+    polygons (star-convex with jagged radii, random class layouts) must
+    either mesh with valid invariants or raise the typed MeshingError —
+    never crash, never return out-of-range indices or classes."""
+    import numpy as np
+
+    from eitx.core.errors import MeshingError
+    from eitx.mesh.api import create_mesh
+
+    def blob(cid, cx, cy, r, rng, n=40):
+        th = np.linspace(0, 2 * np.pi, n, endpoint=False)
+        rr = r * (1.0 + rng.uniform(-0.45, 0.45, n))
+        pts = np.stack([cx + rr * np.cos(th), cy + rr * np.sin(th)], 1)
+        return f"{cid} " + " ".join(f"{x:.1f} {y:.1f}" for x, y in pts)
+
+    ok, typed = 0, 0
+    for seed in range(12):
+        rng = np.random.default_rng(seed)
+        polys = [blob(4, 256, 256, 170 + rng.uniform(-30, 30), rng, 60)]
+        for cid in rng.permutation([0, 1, 2, 3])[: rng.integers(1, 5)]:
+            polys.append(
+                blob(int(cid), 256 + rng.uniform(-80, 80),
+                     256 + rng.uniform(-60, 60), rng.uniform(25, 90), rng)
+            )
+        try:
+            _, mesh = create_mesh(
+                ["1", "1"], polys, lc=12,
+                show_meshing_result_method="no",
+            )
+        except MeshingError:
+            typed += 1
+            continue
+        nodes = np.asarray(mesh["NODES"], np.float64)
+        tris = np.asarray(mesh["TRIANGLES"])
+        cls = np.asarray(mesh["CLASS"])
+        assert np.isfinite(nodes).all()
+        assert tris.min() >= 0 and tris.max() < nodes.shape[0]
+        assert len(cls) == len(tris)
+        assert set(np.unique(cls)) <= {0, 1, 2, 3, 4}
+        # non-degenerate elements: positive area after orientation fix
+        p = nodes[tris]
+        area2 = np.abs(
+            (p[:, 1, 0] - p[:, 0, 0]) * (p[:, 2, 1] - p[:, 0, 1])
+            - (p[:, 2, 0] - p[:, 0, 0]) * (p[:, 1, 1] - p[:, 0, 1])
+        )
+        assert (area2 > 0).all()
+        ok += 1
+    # the battery must mostly mesh (it's made of plausible bodies)
+    assert ok >= 8, (ok, typed)
