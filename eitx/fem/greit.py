@@ -120,6 +120,24 @@ class GreitImager:
                    jnp.asarray(dv, jnp.float32))
         )
 
+    def save(self, path: str) -> None:
+        """Persist the trained matrix (npz) — rebuild costs a Jacobian +
+        train solve per mesh, so serving caches these per mesh bucket."""
+        np.savez(
+            path, R=np.asarray(self.R), mask=self.mask,
+            extent=np.asarray(self.extent, np.float64),
+            npx=np.int64(self.npx),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "GreitImager":
+        with np.load(path) as z:
+            return cls(
+                R=jnp.asarray(z["R"]), mask=z["mask"].astype(bool),
+                extent=tuple(float(v) for v in z["extent"]),
+                npx=int(z["npx"]),
+            )
+
     @classmethod
     def build(
         cls,

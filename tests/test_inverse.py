@@ -253,3 +253,23 @@ def test_greit_figures_of_merit_radial_sweep():
         assert f["ar"] > 0, (r, f)
     ars = np.array([f["ar"] for f in foms])
     assert ars.max() / ars.min() < 2.5, ars    # amplitude uniformity
+
+
+def test_greit_save_load_roundtrip(tmp_path):
+    """A persisted GREIT matrix reconstructs bit-identically after load."""
+    from eitx.fem.greit import GreitImager
+
+    nodes, tris = disk_mesh(40, 5)
+    el = place_electrodes_equal_spacing(nodes, tris, 16, starting_angle=np.pi)
+    proto = create_protocol(16, 1, 1, "std")
+    sigma0 = np.full(tris.shape[0], 0.3)
+    im = GreitImager.build(nodes, tris, sigma0, el, proto.ex_mat,
+                           proto.meas_mat, npx=32)
+    path = str(tmp_path / "greit.npz")
+    im.save(path)
+    im2 = GreitImager.load(path)
+    assert im2.npx == im.npx and im2.extent == im.extent
+    assert (im2.mask == im.mask).all()
+    dv = np.random.default_rng(1).standard_normal(
+        (3, np.asarray(im.R).shape[1])).astype(np.float32)
+    assert (im2.reconstruct(dv) == im.reconstruct(dv)).all()
