@@ -196,8 +196,18 @@ def phantom_batch(
     for b in range(batch):
         hu, body = thorax_phantom_hu(rng, imgsz, rich=rich)
         labels = pseudo_label_slice(hu, body)
-        img = np.asarray(window_normalize(hu, 40.0, 400.0))[::-1, ::-1]
-        labels = labels[::-1, ::-1]  # same rot180 as the windowed image
+        # serving frame: window_normalize already applies the reference's
+        # rot180 (classic_norm, utils.py:309), so the labels — computed in
+        # the raw hu frame — must be rotated to match. (A previous extra
+        # [::-1, ::-1] on the image CANCELLED the internal rot180 while the
+        # labels kept theirs, so every training pair was misaligned by 180
+        # degrees; the network compensated via its global receptive field,
+        # predicting masks at the rot180 position of the anatomy it saw —
+        # self-consistently on phantom evals, catastrophically on anything
+        # else. tests/test_train.py::test_phantom_image_label_alignment
+        # pins the frames together.)
+        img = np.asarray(window_normalize(hu, 40.0, 400.0))
+        labels = labels[::-1, ::-1]
         img3 = np.repeat(img[..., None], 3, -1)
         images[b] = img3 if store_u8 else img3.astype(np.float32) / 255.0
         bx, cl, mk, vl = _instances_from_labels(labels, I, mask_res=r)

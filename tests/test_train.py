@@ -179,6 +179,34 @@ def test_rich_phantom_distribution():
     assert np.array_equal(h1, h2)
 
 
+def test_phantom_image_label_alignment():
+    """Training images and label maps must live in the SAME frame.
+
+    Regression for the round-3 rot180 bug: phantom_batch cancelled
+    window_normalize's internal rot180 on the image while still rotating
+    the labels, so every training pair was misaligned by 180 degrees and
+    the trained segmenter predicted masks at the rot180 position of the
+    anatomy it saw. This pins the frames together with physics, not
+    conventions: lung-labeled pixels must be DARK in the windowed image
+    (air HU clips to 0 in the 40/400 window) and bone-labeled pixels
+    BRIGHT — in the image as stored, not its rotation."""
+    from eitx.train.phantoms import phantom_batch
+
+    b = phantom_batch(4, 128, 12, np.random.default_rng(31), rich=True,
+                      return_labels=True)
+    img = b["images"][..., 0] * (
+        255.0 if b["images"].dtype != np.uint8 else 1.0
+    )
+    lab = b["labels"]
+    lung, bone = lab == 2, lab == 0
+    assert lung.sum() > 100 and bone.sum() > 100
+    assert img[lung].mean() < 30.0, "lung pixels must be dark in-frame"
+    assert img[bone].mean() > 150.0, "bone pixels must be bright in-frame"
+    # and the misaligned frame must NOT satisfy the same physics
+    rot = img[:, ::-1, ::-1]
+    assert rot[lung].mean() > img[lung].mean() + 20.0
+
+
 def test_hard_rib_phantom_distribution():
     """hard=True widens the rib phantom distribution (variable count/
     contrast, dropped ribs) and n_pairs=0 yields a clean negative;
