@@ -498,3 +498,35 @@ def test_proto_stride2_shapes_and_meta_adoption(tmp_path):
     assert seg.spec.proto_stride == 2
     lab = seg.segment_labels(np.zeros((2, 64, 64), np.uint8))
     assert lab.shape == (2, 64, 64)
+
+
+def test_trained_checkpoint_predicts_in_input_frame():
+    """The serving tissue checkpoint must segment lung ON the dark (air)
+    pixels of its own input, not at their rot180 position.
+
+    Integration regression for the round-3 training-frame bug: phantom
+    pairs misaligned by 180 degrees taught the model — via its global
+    receptive field — to paint masks at the rotated location, which every
+    phantom-based eval scored as correct because the eval GT carried the
+    same rotation. Physics can't be fooled: in a 40/400-windowed CT, lung
+    is near-black, bone near-white, in the frame of the image the model
+    was given."""
+    from eitx.core.weights import find_checkpoint
+    from eitx.image import window_normalize
+    from eitx.train.phantoms import thorax_phantom_hu
+
+    ckpt = find_checkpoint("tissue", 256)
+    if ckpt is None:
+        pytest.skip("no trained checkpoint in weights/")
+    hu, _ = thorax_phantom_hu(np.random.default_rng(77001), 256, rich=True)
+    img = np.asarray(window_normalize(hu, 40.0, 400.0))
+    seg = TissueSegmenter(imgsz=256, weights=ckpt, max_det=16)
+    pred = seg.segment_labels(img[None], chunk=1, compose_full=True)[0]
+    lung = pred == 2
+    assert lung.sum() > 200, "trained model must find the lungs"
+    f = img.astype(np.float32)
+    assert f[lung].mean() < 30.0, (
+        "predicted lung must sit on dark pixels of the model's own input "
+        f"(got mean {f[lung].mean():.1f}); if this fails the training "
+        "image/label frames have diverged again"
+    )
