@@ -500,8 +500,9 @@ def test_proto_stride2_shapes_and_meta_adoption(tmp_path):
     assert lab.shape == (2, 64, 64)
 
 
-def test_trained_checkpoint_predicts_in_input_frame():
-    """The serving tissue checkpoint must segment lung ON the dark (air)
+@pytest.mark.parametrize("imgsz", [256, 512])
+def test_trained_checkpoint_predicts_in_input_frame(imgsz):
+    """Every serving tissue checkpoint must segment lung ON the dark (air)
     pixels of its own input, not at their rot180 position.
 
     Integration regression for the round-3 training-frame bug: phantom
@@ -515,12 +516,14 @@ def test_trained_checkpoint_predicts_in_input_frame():
     from eitx.image import window_normalize
     from eitx.train.phantoms import thorax_phantom_hu
 
-    ckpt = find_checkpoint("tissue", 256)
+    ckpt = find_checkpoint("tissue", imgsz)
     if ckpt is None:
         pytest.skip("no trained checkpoint in weights/")
-    hu, _ = thorax_phantom_hu(np.random.default_rng(77001), 256, rich=True)
+    hu, _ = thorax_phantom_hu(
+        np.random.default_rng(77001), imgsz, rich=True
+    )
     img = np.asarray(window_normalize(hu, 40.0, 400.0))
-    seg = TissueSegmenter(imgsz=256, weights=ckpt, max_det=16)
+    seg = TissueSegmenter(imgsz=imgsz, weights=ckpt, max_det=16)
     pred = seg.segment_labels(img[None], chunk=1, compose_full=True)[0]
     lung = pred == 2
     assert lung.sum() > 200, "trained model must find the lungs"
