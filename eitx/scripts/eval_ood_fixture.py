@@ -85,8 +85,12 @@ def evaluate_ood(size: int, weights: str, variant: str = "n",
     # computed in the raw hu frame, rotate to match
     gt = pseudo_label_slice(hu, body)[::-1, ::-1]
     img_u8 = np.asarray(window_normalize(hu, 40.0, 400.0))
+    # max_det matches the serving pipeline's static NMS budget
+    # (ModelConfig.max_detections = 64): real anatomy fragments bone into
+    # 20+ instances (ribs, spine, scapulae), and a 16-slot budget crowds
+    # the muscle/fat detections out entirely
     seg = TissueSegmenter(imgsz=size, weights=weights, variant=variant,
-                          max_det=16)
+                          max_det=64)
     pred = seg.segment_labels(img_u8[None], chunk=1, compose_full=True)[0]
     res = evaluate_dataset([(gt + 1, pred + 1)], n_classes=4)
     per = {n: round(res[c]["iou"], 4) for c, n in enumerate(_CLASS_NAMES)}
