@@ -25,30 +25,38 @@ import numpy as np
 
 def pregenerate(n: int, imgsz: int, max_instances: int, seed: int,
                 rich: bool = False, mask_res: int = None,
-                store_u8: bool = False):
+                store_u8: bool = False, anatomy_frac: float = 0.0):
     """n phantom samples with targets; pseudo-labels batch on device."""
     from ..train.phantoms import phantom_batch
 
     rng = np.random.default_rng(seed)
     return phantom_batch(n, imgsz, max_instances, rng, return_labels=True,
-                         rich=rich, mask_res=mask_res, store_u8=store_u8)
+                         rich=rich, mask_res=mask_res, store_u8=store_u8,
+                         anatomy_frac=anatomy_frac)
 
 
 def evaluate_checkpoint(
     ckpt_path: str, imgsz: int, variant: str, n_eval: int = 32,
-    seed: int = 777, rich: bool = False,
+    seed: int = 777, rich: bool = False, anatomy: bool = False,
 ) -> dict:
-    """Held-out macro IoU of the trained segmenter vs pseudo-labels."""
+    """Held-out macro IoU of the trained segmenter vs pseudo-labels.
+
+    ``anatomy=True`` evaluates on the discrete-instance layout with the
+    serving NMS budget (max_det=64 — real anatomy fragments bone into
+    20+ instances; 16 slots crowd muscle/fat out, see scripts/
+    eval_ood_fixture.py)."""
     from ..eval.metrics import evaluate_dataset
     from ..models.yolo.infer import TissueSegmenter
     from ..train.phantoms import phantom_batch
 
     seg = TissueSegmenter(
-        imgsz=imgsz, weights=ckpt_path, variant=variant, max_det=16
+        imgsz=imgsz, weights=ckpt_path, variant=variant,
+        max_det=64 if anatomy else 16,
     )
     held = phantom_batch(
-        n_eval, imgsz, 12, np.random.default_rng(seed), return_labels=True,
-        rich=rich,
+        n_eval, imgsz, 48 if anatomy else 12, np.random.default_rng(seed),
+        return_labels=True, rich=rich,
+        anatomy_frac=1.0 if anatomy else 0.0,
     )
     imgs_u8 = (held["images"][..., 0] * 255).astype(np.uint8)
     # quality composition — the path the per-request pipeline serves
@@ -89,6 +97,18 @@ def main(argv=None):
                         "(harder rotations/asymmetry/calcifications); "
                         "the report then carries evals on BOTH "
                         "distributions")
+    p.add_argument("--anatomy-frac", type=float, default=0.0,
+                   help="fraction of training samples drawn from the "
+                        "discrete-instance anatomy layout (separate "
+                        "muscle groups / articulated bone — the real "
+                        "fixture's instance statistics); >0 adds an "
+                        "anatomy-distribution eval to the report and "
+                        "wants --max-instances ~40")
+    p.add_argument("--max-instances", type=int, default=12,
+                   help="per-image instance-target budget; the anatomy "
+                        "layout produces 25-50 connected components per "
+                        "slice, and instances beyond the budget silently "
+                        "train as background")
     p.add_argument("--mask-res", type=int, default=0,
                    help="mask supervision resolution (0 = imgsz/2, the "
                         "higher-res default; pass imgsz/4 for legacy "
@@ -160,9 +180,10 @@ def main(argv=None):
             )
     else:
         log.info("pregenerating %d phantoms...", args.n_train)
-        data = pregenerate(args.n_train, args.imgsz, 12,
+        data = pregenerate(args.n_train, args.imgsz, args.max_instances,
                            seed=args.data_seed, rich=args.rich,
-                           mask_res=mask_res, store_u8=True)
+                           mask_res=mask_res, store_u8=True,
+                           anatomy_frac=args.anatomy_frac)
         if args.data_cache:
             np.savez(args.data_cache,
                      **{k: v for k, v in data.items() if k != "labels"})
@@ -189,7 +210,7 @@ def main(argv=None):
         imgsz=args.imgsz, variant=args.variant, lr=args.lr,
         total_steps=start_step + args.steps,
         warmup_steps=min(100, args.steps // 10),
-        max_instances=12, mask_topk=args.mask_topk,
+        max_instances=args.max_instances, mask_topk=args.mask_topk,
         proto_stride=args.proto_stride,
         mask_class_w=(
             tuple(float(w) for w in args.mask_class_weights.split(","))
@@ -247,9 +268,9 @@ def main(argv=None):
         log.info("warm-started from %s", args.init_from)
     from ..train.phantoms import phantom_batch
 
-    val = phantom_batch(args.batch, args.imgsz, 12,
+    val = phantom_batch(args.batch, args.imgsz, args.max_instances,
                         np.random.default_rng(555), mask_res=mask_res,
-                        store_u8=True)
+                        store_u8=True, anatomy_frac=args.anatomy_frac)
     # device-resident batching: the whole store lives in HBM and each
     # step draws an on-device gather+flip batch (one PRNG key h2d per
     # step — the relay link would otherwise cost ~125 ms AND leak host
@@ -298,6 +319,11 @@ def main(argv=None):
         report["rich_distribution_eval"] = evaluate_checkpoint(
             args.out, args.imgsz, args.variant, n_eval=args.eval_n,
             rich=True,
+        )
+    if args.anatomy_frac > 0:
+        report["anatomy_distribution_eval"] = evaluate_checkpoint(
+            args.out, args.imgsz, args.variant, n_eval=args.eval_n,
+            anatomy=True,
         )
     report["final_train_metrics"] = {
         k: round(v, 4) for k, v in metrics.items()

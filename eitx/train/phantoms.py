@@ -37,16 +37,97 @@ def _ellipse(xx, yy, cx, cy, rx, ry, rot=0.0):
     return (xr / rx) ** 2 + (yr / ry) ** 2 < 1.0
 
 
+def _blob(xx, yy, cx, cy, rx, ry, rot, rng, amp):
+    """Irregular ellipse: the radial boundary is modulated by a low-order
+    Fourier series in polar angle (harmonics 2-5, amplitude ``amp``).
+
+    Real anatomy (the patient-derived fixture, femm_generator.py:748-829)
+    has no elliptical boundaries — bodies bulge, muscle rings pinch, lungs
+    are kidney-shaped. Pure-ellipse phantoms taught the detection heads an
+    ellipse prior strong enough that irregular muscle/fat rings scored
+    below the serving conf threshold (OOD fixture eval, round 3)."""
+    ca, sa = np.cos(rot), np.sin(rot)
+    xr = ((xx - cx) * ca + (yy - cy) * sa) / rx
+    yr = (-(xx - cx) * sa + (yy - cy) * ca) / ry
+    th = np.arctan2(yr, xr)
+    mod = np.ones_like(th)
+    for k in range(2, 6):
+        mod += (amp * rng.uniform(0.3, 1.0) / (k - 1)) * np.cos(
+            k * th + rng.uniform(0.0, 2.0 * np.pi)
+        )
+    return xr * xr + yr * yr < mod * mod
+
+
+def _paint_discrete_muscles(xx, yy, cx, cy, rx, ry, rot, rng, hu, body, s):
+    """Paint individual muscle groups instead of one body-sized ring.
+
+    The patient-derived fixture (femm_generator.py:748-829) labels
+    muscle as ~43 SEPARATE polygons — paraspinal columns, pectoral
+    sheets, lateral intercostal bands, scattered small groups — with
+    fat as the connected background web between them. Ring-muscle
+    phantoms taught the detector that a muscle instance is a body-sized
+    ellipse; on real anatomy the muscle class head then never fired at
+    all (max sigmoid 0.002 on the OOD fixture eval, round 3). This
+    layout matches the real instance statistics: many discrete,
+    irregular, widely-sized muscle instances."""
+    ca, sa = np.cos(rot), np.sin(rot)
+
+    def place(u, v, mrx, mry, mrot, amp):
+        # (u, v) body-normalized coords (u lateral, v +posterior)
+        px = cx + (u * rx) * ca - (v * ry) * sa
+        py = cy + (u * rx) * sa + (v * ry) * ca
+        m = _blob(xx, yy, px, py, max(mrx, 1.5), max(mry, 1.5),
+                  rot + mrot, rng, amp)
+        hu[m & body] = _HU["muscle"]
+
+    # paraspinal pair (posterior, flanking the spine)
+    for side in (-1, 1):
+        place(side * rng.uniform(0.10, 0.26), rng.uniform(0.50, 0.68),
+              rx * rng.uniform(0.09, 0.16), ry * rng.uniform(0.10, 0.20),
+              rng.uniform(-0.3, 0.3), rng.uniform(0.04, 0.12))
+    # pectoral / anterior sheets (wide, flat)
+    for side in (-1, 1):
+        if rng.random() < 0.9:
+            place(side * rng.uniform(0.22, 0.45), -rng.uniform(0.55, 0.75),
+                  rx * rng.uniform(0.14, 0.28), ry * rng.uniform(0.04, 0.09),
+                  side * rng.uniform(0.0, 0.35), rng.uniform(0.04, 0.12))
+    # lateral bands along the rim (intercostal / serratus), tangential
+    for _ in range(rng.integers(2, 6)):
+        th = rng.uniform(0, 2 * np.pi)
+        rfac = rng.uniform(0.78, 0.92)
+        u, v = rfac * np.cos(th), rfac * np.sin(th)
+        tangent = np.arctan2(ry * np.cos(th), -rx * np.sin(th))
+        place(u, v, rx * rng.uniform(0.08, 0.22),
+              ry * rng.uniform(0.025, 0.06), tangent,
+              rng.uniform(0.04, 0.10))
+    # scattered small groups (the fixture's long tail of tiny polygons)
+    for _ in range(rng.integers(4, 14)):
+        th = rng.uniform(0, 2 * np.pi)
+        rfac = rng.uniform(0.25, 0.95)
+        place(rfac * np.cos(th), rfac * np.sin(th),
+              s * rng.uniform(0.008, 0.035), s * rng.uniform(0.008, 0.035),
+              rng.uniform(0, np.pi), rng.uniform(0.05, 0.15))
+
+
 def thorax_phantom_hu(
-    rng: np.random.Generator, s: int = 256, rich: bool = False
+    rng: np.random.Generator, s: int = 256, rich: bool = False,
+    anatomy: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Random thorax slice in HU. Returns (hu (s, s) f32, body mask).
 
     ``rich=True`` widens the anatomical variability (rotation, asymmetric
-    breathing, calcifications, occasional single lung, noise level) for
+    breathing, calcifications, occasional single lung, noise level, and
+    irregular Fourier-modulated boundaries for body/muscle/lungs) for
     harder training distributions; the default keeps the original
-    distribution so committed checkpoint reports stay reproducible."""
+    distribution so committed checkpoint reports stay reproducible.
+
+    ``anatomy=True`` switches to the discrete-instance layout (see
+    _paint_discrete_muscles): muscle as many separate groups, fat as the
+    background web, an articulated bone set (spine + sternum + many ribs
+    + scapular plates) — the instance statistics of the patient-derived
+    fixture, which the ring layouts do not cover."""
     yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
+    rich = rich or anatomy
     off = 0.06 if rich else 0.04
     cx = s / 2 + rng.uniform(-s * off, s * off)
     cy = s / 2 + rng.uniform(-s * off, s * off)
@@ -55,21 +136,39 @@ def thorax_phantom_hu(
     ry = s * rng.uniform(0.24, 0.32)
 
     hu = np.full((s, s), _HU["air"], np.float32)
-    body = _ellipse(xx, yy, cx, cy, rx, ry, rot)
-    # fat ring (body minus muscle zone)
+    if rich:
+        # irregular boundaries (see _blob): real bodies/rings/lungs are
+        # not ellipses, and the OOD patient-fixture eval showed the
+        # ellipse prior suppresses detections on irregular shapes
+        body = _blob(xx, yy, cx, cy, rx, ry, rot, rng,
+                     rng.uniform(0.0, 0.05))
+    else:
+        body = _ellipse(xx, yy, cx, cy, rx, ry, rot)
+    # fat ring (body minus muscle zone); anatomy mode: fat is the
+    # connected background web with discrete muscle groups on top
     hu[body] = _HU["fat"]
-    mcx = cx + (rng.uniform(-s * 0.02, s * 0.02) if rich else 0.0)
-    mcy = cy + (rng.uniform(-s * 0.02, s * 0.02) if rich else 0.0)
-    muscle = _ellipse(xx, yy, mcx, mcy, rx * rng.uniform(0.88, 0.94),
-                      ry * rng.uniform(0.86, 0.93), rot)
-    hu[muscle] = _HU["muscle"]
-    # inner mediastinum fat pockets
-    for _ in range(rng.integers(0, 5 if rich else 3)):
-        fx = cx + rng.uniform(-rx * 0.2, rx * 0.2)
-        fy = cy + rng.uniform(-ry * 0.3, ry * 0.3)
-        pocket = _ellipse(xx, yy, fx, fy, s * rng.uniform(0.02, 0.05),
-                          s * rng.uniform(0.02, 0.05), rng.uniform(0, 3))
-        hu[pocket & muscle] = _HU["fat"]
+    if anatomy:
+        _paint_discrete_muscles(xx, yy, cx, cy, rx, ry, rot, rng, hu,
+                                body, s)
+        muscle = body  # lungs/calcifications carve from the body interior
+    else:
+        mcx = cx + (rng.uniform(-s * 0.02, s * 0.02) if rich else 0.0)
+        mcy = cy + (rng.uniform(-s * 0.02, s * 0.02) if rich else 0.0)
+        if rich:
+            muscle = _blob(xx, yy, mcx, mcy, rx * rng.uniform(0.88, 0.94),
+                           ry * rng.uniform(0.86, 0.93), rot, rng,
+                           rng.uniform(0.0, 0.06)) & body
+        else:
+            muscle = _ellipse(xx, yy, mcx, mcy, rx * rng.uniform(0.88, 0.94),
+                              ry * rng.uniform(0.86, 0.93), rot)
+        hu[muscle] = _HU["muscle"]
+        # inner mediastinum fat pockets
+        for _ in range(rng.integers(0, 5 if rich else 3)):
+            fx = cx + rng.uniform(-rx * 0.2, rx * 0.2)
+            fy = cy + rng.uniform(-ry * 0.3, ry * 0.3)
+            pocket = _ellipse(xx, yy, fx, fy, s * rng.uniform(0.02, 0.05),
+                              s * rng.uniform(0.02, 0.05), rng.uniform(0, 3))
+            hu[pocket & muscle] = _HU["fat"]
     # two lungs (breathing-phase size jitter; rich: independent per-lung
     # phase + 5% single-lung cases)
     breath = rng.uniform(0.75, 1.1)
@@ -82,8 +181,14 @@ def thorax_phantom_hu(
         ly = cy + ry * rng.uniform(-0.08, 0.08)
         lrx = rx * rng.uniform(0.24, 0.32) * b
         lry = ry * rng.uniform(0.45, 0.62) * b
-        lung = _ellipse(xx, yy, lx, ly, lrx, lry,
-                        rot + side * rng.uniform(0.0, 0.25))
+        if rich:
+            # kidney-shaped lungs: stronger boundary modulation
+            lung = _blob(xx, yy, lx, ly, lrx, lry,
+                         rot + side * rng.uniform(0.0, 0.25), rng,
+                         rng.uniform(0.02, 0.10))
+        else:
+            lung = _ellipse(xx, yy, lx, ly, lrx, lry,
+                            rot + side * rng.uniform(0.0, 0.25))
         hu[lung & muscle] = _HU["lung"]
     # spine (posterior) + sternum (anterior) bone
     sp = _ellipse(xx, yy, cx + rng.uniform(-2, 2),
@@ -96,13 +201,34 @@ def thorax_phantom_hu(
                   s * rng.uniform(0.012, 0.02), rot)
     hu[sp & body] = _HU["bone"]
     hu[st & body] = _HU["bone"]
-    # a couple of rib cross-sections on the muscle ring
-    for _ in range(rng.integers(2, 6)):
+    # rib cross-sections on the body rim (anatomy: a full articulated
+    # cage — the fixture has ~20 separate bone polygons)
+    n_ribs = rng.integers(8, 18) if anatomy else rng.integers(2, 6)
+    for _ in range(n_ribs):
         ang = rng.uniform(0, 2 * np.pi)
-        bx = cx + rx * 0.93 * np.cos(ang)
-        by = cy + ry * 0.93 * np.sin(ang)
-        rib = _ellipse(xx, yy, bx, by, s * 0.015, s * 0.01, ang)
+        rfac = rng.uniform(0.82, 0.95) if anatomy else 0.93
+        bx = cx + rx * rfac * np.cos(ang)
+        by = cy + ry * rfac * np.sin(ang)
+        rib = _ellipse(xx, yy, bx, by,
+                       s * (rng.uniform(0.010, 0.022) if anatomy else 0.015),
+                       s * (rng.uniform(0.006, 0.013) if anatomy else 0.01),
+                       ang)
         hu[rib & body] = _HU["bone"]
+    if anatomy:
+        # scapular plates: elongated thin bone posterior-lateral
+        for side in (-1, 1):
+            if rng.random() < 0.7:
+                th = np.arctan2(rng.uniform(0.25, 0.55),
+                                side * rng.uniform(0.5, 0.75))
+                tangent = np.arctan2(ry * np.cos(th), -rx * np.sin(th))
+                px = cx + 0.72 * (rx * np.cos(th) * np.cos(rot)
+                                  - ry * np.sin(th) * np.sin(rot))
+                py = cy + 0.72 * (rx * np.cos(th) * np.sin(rot)
+                                  + ry * np.sin(th) * np.cos(rot))
+                plate = _blob(xx, yy, px, py, rx * rng.uniform(0.10, 0.20),
+                              s * rng.uniform(0.006, 0.012),
+                              rot + tangent, rng, rng.uniform(0.02, 0.08))
+                hu[plate & body] = _HU["bone"]
     if rich:
         # calcifications: small bone islands inside the muscle zone
         for _ in range(rng.integers(0, 4)):
@@ -175,6 +301,7 @@ def phantom_batch(
     rich: bool = False,
     mask_res: int = None,
     store_u8: bool = False,
+    anatomy_frac: float = 0.0,
 ) -> Dict[str, np.ndarray]:
     """Training batch from HU phantoms pseudo-labeled on device.
 
@@ -182,7 +309,11 @@ def phantom_batch(
     res; imgsz/2 gives the higher-res supervision the trainer upsamples
     the proto to). ``store_u8`` keeps images and soft masks quantized to
     uint8 — 1/4 the host RAM and host->device bytes; the trainer
-    dequantizes inside the compiled step."""
+    dequantizes inside the compiled step. ``anatomy_frac`` draws that
+    fraction of samples from the discrete-instance anatomy layout (many
+    separate muscle/bone instances — the real fixture's statistics);
+    such samples need a larger ``max_instances`` budget (~40) or the
+    small-instance tail silently becomes background."""
     rng = rng or np.random.default_rng(0)
     r = mask_res or imgsz // 4
     im_dt = np.uint8 if store_u8 else np.float32
@@ -194,7 +325,10 @@ def phantom_batch(
     valid = np.zeros((batch, I), bool)
     label_imgs = np.zeros((batch, imgsz, imgsz), np.int32)
     for b in range(batch):
-        hu, body = thorax_phantom_hu(rng, imgsz, rich=rich)
+        hu, body = thorax_phantom_hu(
+            rng, imgsz, rich=rich,
+            anatomy=bool(anatomy_frac and rng.random() < anatomy_frac),
+        )
         labels = pseudo_label_slice(hu, body)
         # serving frame: window_normalize already applies the reference's
         # rot180 (classic_norm, utils.py:309), so the labels — computed in
