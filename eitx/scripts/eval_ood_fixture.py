@@ -109,10 +109,16 @@ def main(argv=None):
     p.add_argument("--report", default=None)
     p.add_argument("--seeds", type=int, default=3,
                    help="noise seeds averaged per size")
+    p.add_argument("--ckpt-256", default=None,
+                   help="explicit 256 checkpoint (default: serving slot)")
+    p.add_argument("--ckpt-512", default=None,
+                   help="explicit 512 checkpoint (default: serving slot)")
+    p.add_argument("--sizes", default="256,512")
     args = p.parse_args(argv)
+    override = {256: args.ckpt_256, 512: args.ckpt_512}
     out = {}
-    for size in (256, 512):
-        w = find_checkpoint("tissue", size)
+    for size in (int(s) for s in args.sizes.split(",")):
+        w = override[size] or find_checkpoint("tissue", size)
         if w is None:
             continue
         runs = [evaluate_ood(size, w, seed=5 + k) for k in range(args.seeds)]

@@ -107,6 +107,14 @@ def _paint_discrete_muscles(xx, yy, cx, cy, rx, ry, rot, rng, hu, body, s):
         place(rfac * np.cos(th), rfac * np.sin(th),
               s * rng.uniform(0.008, 0.035), s * rng.uniform(0.008, 0.035),
               rng.uniform(0, np.pi), rng.uniform(0.05, 0.15))
+    # heart: a large central-anterior muscle mass between the lungs (the
+    # fixture's two biggest muscle polygons, 134x165/125x112 px — lungs
+    # wrap around it; without it the medial lung boundary is an
+    # appearance the model never sees)
+    if rng.random() < 0.85:
+        place(rng.uniform(-0.12, 0.12), -rng.uniform(0.0, 0.30),
+              rx * rng.uniform(0.16, 0.28), ry * rng.uniform(0.20, 0.34),
+              rng.uniform(-0.4, 0.4), rng.uniform(0.04, 0.12))
 
 
 def thorax_phantom_hu(
@@ -177,15 +185,20 @@ def thorax_phantom_hu(
         sides = (rng.choice([-1, 1]),)
     for side in sides:
         b = rng.uniform(0.70, 1.15) if rich else breath
-        lx = cx + side * rx * rng.uniform(0.36, 0.46)
+        lx = cx + side * rx * (rng.uniform(0.30, 0.50) if anatomy
+                               else rng.uniform(0.36, 0.46))
         ly = cy + ry * rng.uniform(-0.08, 0.08)
         lrx = rx * rng.uniform(0.24, 0.32) * b
-        lry = ry * rng.uniform(0.45, 0.62) * b
+        lry = ry * (rng.uniform(0.40, 0.68) if anatomy
+                    else rng.uniform(0.45, 0.62)) * b
         if rich:
-            # kidney-shaped lungs: stronger boundary modulation
+            # kidney-shaped lungs: stronger boundary modulation (anatomy:
+            # up to deeply-lobed — the fixture's lungs are far from
+            # elliptical and one was entirely missed before this)
             lung = _blob(xx, yy, lx, ly, lrx, lry,
                          rot + side * rng.uniform(0.0, 0.25), rng,
-                         rng.uniform(0.02, 0.10))
+                         rng.uniform(0.03, 0.16) if anatomy
+                         else rng.uniform(0.02, 0.10))
         else:
             lung = _ellipse(xx, yy, lx, ly, lrx, lry,
                             rot + side * rng.uniform(0.0, 0.25))
