@@ -179,6 +179,43 @@ def test_rich_phantom_distribution():
     assert np.array_equal(h1, h2)
 
 
+def test_anatomy_phantom_distribution():
+    """anatomy=True produces DISCRETE instance statistics (many separate
+    muscle groups + an articulated bone cage — the patient fixture has
+    ~43 muscle / ~22 bone polygons, vs 1 ring muscle in classic
+    phantoms), its samples still satisfy the image/label physics, and
+    anatomy_frac=0.0 leaves the classic rng streams bit-identical."""
+    from scipy import ndimage
+
+    from eitx.train.phantoms import phantom_batch, thorax_phantom_hu
+    from eitx.scripts.pseudo_label import pseudo_label_slice
+
+    rng = np.random.default_rng(7)
+    mus_ccs, bone_ccs = [], []
+    for _ in range(3):
+        hu, body = thorax_phantom_hu(rng, 192, anatomy=True)
+        lab = pseudo_label_slice(hu, body)
+        for cls, acc in ((1, mus_ccs), (0, bone_ccs)):
+            l, n = ndimage.label(lab == cls)
+            sizes = ndimage.sum(lab == cls, l, np.arange(1, n + 1))
+            acc.append(int((sizes >= 16).sum()))
+    assert max(mus_ccs) >= 4, f"muscle groups not discrete: {mus_ccs}"
+    assert max(bone_ccs) >= 8, f"bone cage not articulated: {bone_ccs}"
+    # batch path: anatomy samples fit the raised instance budget and the
+    # image/label frames stay aligned (lung dark, bone bright)
+    b = phantom_batch(2, 192, 40, np.random.default_rng(3),
+                      return_labels=True, anatomy_frac=1.0)
+    assert b["valid"].sum(1).max() > 12, \
+        "anatomy slice must exceed the classic 12-instance budget"
+    img, lab = b["images"][..., 0] * 255.0, b["labels"]
+    assert img[lab == 2].mean() < 30.0 and img[lab == 0].mean() > 150.0
+    # classic streams unchanged (reports stay reproducible)
+    h1, _ = thorax_phantom_hu(np.random.default_rng(5), 96, rich=True)
+    h2, _ = thorax_phantom_hu(np.random.default_rng(5), 96, rich=True,
+                              anatomy=False)
+    assert np.array_equal(h1, h2)
+
+
 def test_phantom_image_label_alignment():
     """Training images and label maps must live in the SAME frame.
 
