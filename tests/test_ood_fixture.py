@@ -1,0 +1,52 @@
+"""OOD regression: serving checkpoints on the patient-derived fixture.
+
+The tissue segmenter trains on synthetic phantoms; the only
+patient-derived geometry in this environment is the segmented-slice
+polygon set the reference embeds (femm_generator.py:748-829).
+eitx/scripts/eval_ood_fixture.py renders it to an HU image and scores
+the serving checkpoints against HU-threshold pseudo-labels — the eval
+that exposed both round-3 training-data bugs (the rot180 frame
+misalignment and the ellipse/scale prior: muscles scored 0.0 IoU and
+one lung was missed entirely before the anatomy-instance phantom mode).
+
+This test pins the recovered capability with thresholds far below the
+measured numbers (256 slot: macro 0.77, lung 0.91 at promotion) but far
+above the failure modes they guard against (macro 0.27, muscles 0.0,
+lung 0.34) — seed noise won't trip them, a distribution regression will.
+"""
+
+import numpy as np
+import pytest
+
+
+def test_serving_256_on_patient_fixture():
+    from eitx.core.weights import find_checkpoint
+    from eitx.scripts.eval_ood_fixture import evaluate_ood
+
+    ckpt = find_checkpoint("tissue", 256)
+    if ckpt is None:
+        pytest.skip("no trained 256 checkpoint in weights/")
+    res = evaluate_ood(256, ckpt, seed=5)
+    per = res["per_class_iou"]
+    assert res["macro_iou"] >= 0.55, res
+    # the two historical failure modes, with wide margins:
+    assert per["muscles"] >= 0.30, (
+        f"muscle head not firing on real anatomy layout again: {per}"
+    )
+    assert per["lung"] >= 0.70, (
+        f"lung detection/box regression on frame-filling bodies: {per}"
+    )
+
+
+def test_fixture_rendering_stats():
+    """The rendered fixture itself: frame-filling body, two large lungs —
+    the statistics the anatomy phantom mode was widened to cover."""
+    from eitx.scripts.eval_ood_fixture import render_fixture_hu
+    from eitx.scripts.pseudo_label import pseudo_label_slice
+
+    hu, body = render_fixture_hu(256, seed=5)
+    gt = pseudo_label_slice(hu, body)
+    frac = float((np.asarray(gt) >= 0).mean())
+    assert 0.6 < frac < 0.75, f"body fraction drifted: {frac}"
+    lung = np.asarray(gt) == 2
+    assert lung.mean() > 0.2, "lungs must dominate the fixture interior"
