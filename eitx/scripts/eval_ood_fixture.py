@@ -53,8 +53,13 @@ def load_fixture_polygons(path: str = None):
 
 
 def render_fixture_hu(size: int = 512, noise_sigma: float = 12.0,
-                      seed: int = 5):
-    """(hu (s, s) f32, body mask (s, s) u8) rendering of the fixture."""
+                      seed: int = 5, pv_sigma: float = 0.0):
+    """(hu (s, s) f32, body mask (s, s) u8) rendering of the fixture.
+
+    ``pv_sigma`` > 0 applies a scanner-PSF partial-volume blur to the
+    painted tissue map BEFORE the noise draw (same rng stream either
+    way, so the noise field is identical to the unblurred render of the
+    same seed — only the boundaries get harder)."""
     from ..geometry import rasterize_polygons
 
     polys = load_fixture_polygons()
@@ -66,6 +71,10 @@ def render_fixture_hu(size: int = 512, noise_sigma: float = 12.0,
     hu = np.full((size, size), _HU["air"], np.float32)
     for cid, val in _CLASS_HU.items():
         hu[lab == cid] = val
+    if pv_sigma:
+        from ..train.phantoms import _partial_volume
+
+        hu = _partial_volume(hu, pv_sigma)
     rng = np.random.default_rng(seed)
     hu += rng.normal(0.0, noise_sigma, hu.shape).astype(np.float32)
     body = (lab >= 0).astype(np.uint8) * 255
@@ -73,7 +82,7 @@ def render_fixture_hu(size: int = 512, noise_sigma: float = 12.0,
 
 
 def evaluate_ood(size: int, weights: str, variant: str = "n",
-                 seed: int = 5) -> dict:
+                 seed: int = 5, pv_sigma: float = 0.0) -> dict:
     from ..eval.metrics import evaluate_dataset
     from ..image import window_normalize
     from ..models.yolo.infer import TissueSegmenter
@@ -84,6 +93,10 @@ def evaluate_ood(size: int, weights: str, variant: str = "n",
     # includes the reference's rot180 (classic_norm) — so the GT labels,
     # computed in the raw hu frame, rotate to match
     gt = pseudo_label_slice(hu, body)[::-1, ::-1]
+    if pv_sigma:
+        # harder image, SAME ground truth: the GT above is derived from
+        # the crisp render (identical noise field — see render_fixture_hu)
+        hu, _ = render_fixture_hu(size, seed=seed, pv_sigma=pv_sigma)
     img_u8 = np.asarray(window_normalize(hu, 40.0, 400.0))
     # max_det matches the serving pipeline's static NMS budget
     # (ModelConfig.max_detections = 64): real anatomy fragments bone into
@@ -114,14 +127,21 @@ def main(argv=None):
     p.add_argument("--ckpt-512", default=None,
                    help="explicit 512 checkpoint (default: serving slot)")
     p.add_argument("--sizes", default="256,512")
+    p.add_argument("--pv-sigma", type=float, default=0.0,
+                   help="partial-volume blur (px) of the model input; GT "
+                        "stays derived from the crisp render — a harder "
+                        "variant of the standing eval, not a replacement")
     args = p.parse_args(argv)
     override = {256: args.ckpt_256, 512: args.ckpt_512}
     out = {}
+    if args.pv_sigma:
+        out["pv_sigma"] = args.pv_sigma
     for size in (int(s) for s in args.sizes.split(",")):
         w = override[size] or find_checkpoint("tissue", size)
         if w is None:
             continue
-        runs = [evaluate_ood(size, w, seed=5 + k) for k in range(args.seeds)]
+        runs = [evaluate_ood(size, w, seed=5 + k, pv_sigma=args.pv_sigma)
+                for k in range(args.seeds)]
         out[str(size)] = {
             "macro_iou": round(
                 float(np.mean([r["macro_iou"] for r in runs])), 4

@@ -25,14 +25,16 @@ import numpy as np
 
 def pregenerate(n: int, imgsz: int, max_instances: int, seed: int,
                 rich: bool = False, mask_res: int = None,
-                store_u8: bool = False, anatomy_frac: float = 0.0):
+                store_u8: bool = False, anatomy_frac: float = 0.0,
+                pv_sigma_max: float = 0.0):
     """n phantom samples with targets; pseudo-labels batch on device."""
     from ..train.phantoms import phantom_batch
 
     rng = np.random.default_rng(seed)
     return phantom_batch(n, imgsz, max_instances, rng, return_labels=True,
                          rich=rich, mask_res=mask_res, store_u8=store_u8,
-                         anatomy_frac=anatomy_frac)
+                         anatomy_frac=anatomy_frac,
+                         pv_sigma_max=pv_sigma_max)
 
 
 def evaluate_checkpoint(
@@ -125,6 +127,13 @@ def main(argv=None):
                    help="comma-separated per-class mask-loss weights "
                         "(bone,muscles,lung,fat), e.g. '1.5,0.8,0.8,1.6'; "
                         "upweights lagging classes, keep the mean ~1")
+    p.add_argument("--pv-sigma-max", type=float, default=0.0,
+                   help="partial-volume augmentation: per-sample Gaussian "
+                        "blur of the training IMAGE (sigma ~ U(0.4, max) "
+                        "px) while labels stay crisp — real CT boundaries "
+                        "are PSF mixtures, the phantoms' piecewise-"
+                        "constant tissues are not; 0 disables (default, "
+                        "bit-identical streams)")
     p.add_argument("--data-seed", type=int, default=0,
                    help="phantom pregeneration seed (use a fresh seed "
                         "when continuing training from a checkpoint so "
@@ -183,7 +192,8 @@ def main(argv=None):
         data = pregenerate(args.n_train, args.imgsz, args.max_instances,
                            seed=args.data_seed, rich=args.rich,
                            mask_res=mask_res, store_u8=True,
-                           anatomy_frac=args.anatomy_frac)
+                           anatomy_frac=args.anatomy_frac,
+                           pv_sigma_max=args.pv_sigma_max)
         if args.data_cache:
             np.savez(args.data_cache,
                      **{k: v for k, v in data.items() if k != "labels"})

@@ -30,6 +30,19 @@ _HU = {
 }
 
 
+def _partial_volume(hu: np.ndarray, sigma: float) -> np.ndarray:
+    """Scanner-PSF partial-volume blur of an HU image (labels stay crisp).
+
+    Real CT boundaries are mixtures over the reconstruction kernel's
+    footprint; the phantoms' piecewise-constant tissues are a training
+    shortcut real data never takes. Blurring the IMAGE only (after the
+    pseudo-labels are computed from the crisp HU map) teaches the model
+    to segment through partial-volume boundaries."""
+    from scipy import ndimage
+
+    return ndimage.gaussian_filter(hu, sigma, mode="nearest")
+
+
 def _ellipse(xx, yy, cx, cy, rx, ry, rot=0.0):
     ca, sa = np.cos(rot), np.sin(rot)
     xr = (xx - cx) * ca + (yy - cy) * sa
@@ -325,6 +338,7 @@ def phantom_batch(
     mask_res: int = None,
     store_u8: bool = False,
     anatomy_frac: float = 0.0,
+    pv_sigma_max: float = 0.0,
 ) -> Dict[str, np.ndarray]:
     """Training batch from HU phantoms pseudo-labeled on device.
 
@@ -336,8 +350,19 @@ def phantom_batch(
     fraction of samples from the discrete-instance anatomy layout (many
     separate muscle/bone instances — the real fixture's statistics);
     such samples need a larger ``max_instances`` budget (~40) or the
-    small-instance tail silently becomes background."""
+    small-instance tail silently becomes background.
+
+    ``pv_sigma_max`` > 0 applies a per-sample partial-volume blur (sigma
+    ~ U(0.4, pv_sigma_max) px) to the IMAGE only — labels stay computed
+    from the crisp HU map (see _partial_volume). The sigmas come from a
+    dedicated constant-seeded rng so the main phantom stream is
+    untouched: a pv batch contains the SAME phantoms and targets as the
+    unblurred batch of the same seed, images blurred."""
     rng = rng or np.random.default_rng(0)
+    # dedicated stream: sigma draws must not interleave with (and shift)
+    # the phantom stream, so pv batches stay phantom-identical to
+    # unblurred batches of the same seed
+    pv_rng = np.random.default_rng(0x9D5) if pv_sigma_max else None
     r = mask_res or imgsz // 4
     im_dt = np.uint8 if store_u8 else np.float32
     images = np.zeros((batch, imgsz, imgsz, 3), im_dt)
@@ -363,6 +388,10 @@ def phantom_batch(
         # self-consistently on phantom evals, catastrophically on anything
         # else. tests/test_train.py::test_phantom_image_label_alignment
         # pins the frames together.)
+        if pv_sigma_max:
+            hu = _partial_volume(
+                hu, float(pv_rng.uniform(0.4, pv_sigma_max))
+            )
         img = np.asarray(window_normalize(hu, 40.0, 400.0))
         labels = labels[::-1, ::-1]
         img3 = np.repeat(img[..., None], 3, -1)

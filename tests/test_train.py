@@ -244,6 +244,58 @@ def test_phantom_image_label_alignment():
     assert rot[lung].mean() > img[lung].mean() + 20.0
 
 
+def test_partial_volume_augmentation():
+    """pv_sigma_max blurs the IMAGE only — targets stay crisp.
+
+    The labels/boxes/masks of a pv-augmented batch must be identical to
+    the unblurred batch of the same seed (the sigma draw happens after
+    the per-sample target computation), while the images differ most at
+    tissue boundaries. pv_sigma_max=0 must be bit-identical to omitting
+    the parameter (committed checkpoint reports depend on the streams)."""
+    from eitx.train.phantoms import phantom_batch
+
+    base = phantom_batch(3, 128, 12, np.random.default_rng(77), rich=True,
+                         return_labels=True)
+    off = phantom_batch(3, 128, 12, np.random.default_rng(77), rich=True,
+                        return_labels=True, pv_sigma_max=0.0)
+    for k in base:
+        assert np.array_equal(base[k], off[k]), k
+    pv = phantom_batch(3, 128, 12, np.random.default_rng(77), rich=True,
+                       return_labels=True, pv_sigma_max=2.0)
+    for k in ("labels", "boxes", "classes", "masks", "valid"):
+        assert np.array_equal(base[k], pv[k]), f"{k} must stay crisp"
+    scale = 1.0 if base["images"].dtype == np.uint8 else 255.0
+    di = scale * np.abs(base["images"].astype(np.float32)
+                        - pv["images"].astype(np.float32))[..., 0]
+    assert di.max() > 10.0, "blur must actually change the image"
+    # boundary pixels (label changes across a neighbor) move more than
+    # the interior: partial volume is a boundary effect
+    lab = base["labels"]
+    edge = np.zeros_like(lab, bool)
+    edge[:, 1:, :] |= lab[:, 1:, :] != lab[:, :-1, :]
+    edge[:, :, 1:] |= lab[:, :, 1:] != lab[:, :, :-1]
+    assert di[edge].mean() > 4.0 * di[~edge].mean()
+
+
+def test_ood_fixture_pv_variant():
+    """The pv render shares the crisp render's noise field and body; the
+    HU difference concentrates at polygon boundaries."""
+    from eitx.scripts.eval_ood_fixture import render_fixture_hu
+
+    hu, body = render_fixture_hu(128, seed=5)
+    hu_pv, body_pv = render_fixture_hu(128, seed=5, pv_sigma=1.5)
+    assert np.array_equal(body, body_pv)
+    d = np.abs(hu - hu_pv)
+    assert d.max() > 50.0  # air->fat boundary smears by hundreds of HU
+    # far from any boundary the painted map is constant, so the blur is
+    # a no-op there and the (shared) noise field cancels exactly — e.g.
+    # the air corner outside the body
+    assert d[:8, :8].max() < 1e-3
+    # the fixture is detailed at 128px, but a solid fraction of pixels
+    # still sits outside every blur footprint
+    assert (d < 1e-3).mean() > 0.2
+
+
 def test_hard_rib_phantom_distribution():
     """hard=True widens the rib phantom distribution (variable count/
     contrast, dropped ribs) and n_pairs=0 yields a clean negative;
