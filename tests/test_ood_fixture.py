@@ -38,6 +38,27 @@ def test_serving_256_on_patient_fixture():
     )
 
 
+def test_serving_512_on_patient_fixture():
+    from eitx.core.weights import find_checkpoint
+    from eitx.scripts.eval_ood_fixture import evaluate_ood
+
+    ckpt = find_checkpoint("tissue", 512)
+    if ckpt is None:
+        pytest.skip("no trained 512 checkpoint in weights/")
+    res = evaluate_ood(512, ckpt, seed=5)
+    per = res["per_class_iou"]
+    assert res["macro_iou"] >= 0.60, res
+    # the 512 slot's historical failure modes (pre-anatomy-mix serving
+    # checkpoint: muscles 0.0, fat 0.43 at macro 0.446; promoted
+    # candidate measured muscles 0.80, fat 0.92 at macro 0.803):
+    assert per["muscles"] >= 0.35, (
+        f"muscle head not firing on real anatomy layout again: {per}"
+    )
+    assert per["fat"] >= 0.60, (
+        f"fat regression on the patient-derived layout: {per}"
+    )
+
+
 def test_fixture_rendering_stats():
     """The rendered fixture itself: frame-filling body, two large lungs —
     the statistics the anatomy phantom mode was widened to cover."""
