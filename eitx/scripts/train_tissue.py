@@ -129,7 +129,7 @@ def main(argv=None):
                         "upweights lagging classes, keep the mean ~1")
     p.add_argument("--pv-sigma-max", type=float, default=0.0,
                    help="partial-volume augmentation: per-sample Gaussian "
-                        "blur of the training IMAGE (sigma ~ U(0.4, max) "
+                        "blur of the training IMAGE (sigma ~ U(0, max) "
                         "px) while labels stay crisp — real CT boundaries "
                         "are PSF mixtures, the phantoms' piecewise-"
                         "constant tissues are not; 0 disables (default, "

@@ -353,7 +353,8 @@ def phantom_batch(
     small-instance tail silently becomes background.
 
     ``pv_sigma_max`` > 0 applies a per-sample partial-volume blur (sigma
-    ~ U(0.4, pv_sigma_max) px) to the IMAGE only — labels stay computed
+    ~ U(0, pv_sigma_max) px, skipped below 0.15 so the crisp end stays
+    exactly in-distribution) to the IMAGE only — labels stay computed
     from the crisp HU map (see _partial_volume). The sigmas come from a
     dedicated constant-seeded rng so the main phantom stream is
     untouched: a pv batch contains the SAME phantoms and targets as the
@@ -389,9 +390,9 @@ def phantom_batch(
         # else. tests/test_train.py::test_phantom_image_label_alignment
         # pins the frames together.)
         if pv_sigma_max:
-            hu = _partial_volume(
-                hu, float(pv_rng.uniform(0.4, pv_sigma_max))
-            )
+            sig = float(pv_rng.uniform(0.0, pv_sigma_max))
+            if sig > 0.15:
+                hu = _partial_volume(hu, sig)
         img = np.asarray(window_normalize(hu, 40.0, 400.0))
         labels = labels[::-1, ::-1]
         img3 = np.repeat(img[..., None], 3, -1)
