@@ -52,18 +52,51 @@ def load_fixture_polygons(path: str = None):
     return polys
 
 
+def fixture_transform(seed: int):
+    """Random pose/zoom transform for the fixture polygons.
+
+    The fixture is a single patient geometry; scoring it only at its
+    native pose lets a model (or a training-distribution tweak) fit the
+    one layout. A rotation/flip/scale/shift family turns it into a
+    varied eval while keeping the anatomy real. Scale is bounded to
+    0.65-0.90 so the frame-filling body stays inside the frame at any
+    rotation angle."""
+    rng = np.random.default_rng(1000 + seed)
+    return {
+        "angle": float(rng.uniform(0.0, 2 * np.pi)),
+        "flip": bool(rng.random() < 0.5),
+        "scale": float(rng.uniform(0.65, 0.90)),
+        "shift": rng.uniform(-0.05, 0.05, 2),
+    }
+
+
+def _apply_transform(xy: np.ndarray, t: dict, size: int) -> np.ndarray:
+    c = size / 2.0
+    p = xy - c
+    if t["flip"]:
+        p = p * np.array([-1.0, 1.0])
+    ca, sa = np.cos(t["angle"]), np.sin(t["angle"])
+    p = p @ np.array([[ca, sa], [-sa, ca]])
+    return c + t["scale"] * p + np.asarray(t["shift"]) * size
+
+
 def render_fixture_hu(size: int = 512, noise_sigma: float = 12.0,
-                      seed: int = 5, pv_sigma: float = 0.0):
+                      seed: int = 5, pv_sigma: float = 0.0,
+                      transform: dict = None):
     """(hu (s, s) f32, body mask (s, s) u8) rendering of the fixture.
 
     ``pv_sigma`` > 0 applies a scanner-PSF partial-volume blur to the
     painted tissue map BEFORE the noise draw (same rng stream either
     way, so the noise field is identical to the unblurred render of the
-    same seed — only the boundaries get harder)."""
+    same seed — only the boundaries get harder). ``transform`` (from
+    fixture_transform) re-poses the polygons before rasterization."""
     from ..geometry import rasterize_polygons
 
     polys = load_fixture_polygons()
     scale = size / 512.0
+    if transform is not None:
+        polys = [(cid, _apply_transform(xy, transform, 512.0))
+                 for cid, xy in polys]
     ordered = [
         (cid, xy * scale) for z in _Z_ORDER for cid, xy in polys if cid == z
     ]
@@ -82,13 +115,14 @@ def render_fixture_hu(size: int = 512, noise_sigma: float = 12.0,
 
 
 def evaluate_ood(size: int, weights: str, variant: str = "n",
-                 seed: int = 5, pv_sigma: float = 0.0) -> dict:
+                 seed: int = 5, pv_sigma: float = 0.0,
+                 transform: dict = None) -> dict:
     from ..eval.metrics import evaluate_dataset
     from ..image import window_normalize
     from ..models.yolo.infer import TissueSegmenter
     from .pseudo_label import pseudo_label_slice
 
-    hu, body = render_fixture_hu(size, seed=seed)
+    hu, body = render_fixture_hu(size, seed=seed, transform=transform)
     # serving frame: the model consumes window_normalize output, which
     # includes the reference's rot180 (classic_norm) — so the GT labels,
     # computed in the raw hu frame, rotate to match
@@ -96,7 +130,8 @@ def evaluate_ood(size: int, weights: str, variant: str = "n",
     if pv_sigma:
         # harder image, SAME ground truth: the GT above is derived from
         # the crisp render (identical noise field — see render_fixture_hu)
-        hu, _ = render_fixture_hu(size, seed=seed, pv_sigma=pv_sigma)
+        hu, _ = render_fixture_hu(size, seed=seed, pv_sigma=pv_sigma,
+                                  transform=transform)
     img_u8 = np.asarray(window_normalize(hu, 40.0, 400.0))
     # max_det matches the serving pipeline's static NMS budget
     # (ModelConfig.max_detections = 64): real anatomy fragments bone into
@@ -131,6 +166,12 @@ def main(argv=None):
                    help="partial-volume blur (px) of the model input; GT "
                         "stays derived from the crisp render — a harder "
                         "variant of the standing eval, not a replacement")
+    p.add_argument("--transforms", type=int, default=0,
+                   help="additionally score N randomly re-posed fixture "
+                        "variants (rotation/flip/scale 0.65-0.9/shift, "
+                        "fixture_transform) per size — guards against "
+                        "fitting the single native pose; reported as a "
+                        "separate 'posed' section with mean and min")
     args = p.parse_args(argv)
     override = {256: args.ckpt_256, 512: args.ckpt_512}
     out = {}
@@ -155,6 +196,24 @@ def main(argv=None):
             "n_seeds": args.seeds,
             "checkpoint": os.path.basename(w),
         }
+        if args.transforms:
+            posed = [
+                evaluate_ood(size, w, seed=5 + k,
+                             pv_sigma=args.pv_sigma,
+                             transform=fixture_transform(k))
+                for k in range(args.transforms)
+            ]
+            macros = [r["macro_iou"] for r in posed]
+            out[str(size)]["posed"] = {
+                "macro_iou_mean": round(float(np.mean(macros)), 4),
+                "macro_iou_min": round(float(np.min(macros)), 4),
+                "per_class_iou_mean": {
+                    n: round(float(np.mean(
+                        [r["per_class_iou"][n] for r in posed])), 4)
+                    for n in _CLASS_NAMES
+                },
+                "n_transforms": args.transforms,
+            }
     print(json.dumps(out))
     if args.report:
         with open(args.report, "w") as fh:

@@ -59,6 +59,30 @@ def test_serving_512_on_patient_fixture():
     )
 
 
+def test_fixture_transform_renders_in_frame():
+    """Re-posed fixture variants must keep the body inside the frame
+    (the scale bound exists exactly for this) and still contain all four
+    tissue classes."""
+    from eitx.scripts.eval_ood_fixture import (
+        fixture_transform, render_fixture_hu)
+    from eitx.scripts.pseudo_label import pseudo_label_slice
+
+    for k in range(4):
+        t = fixture_transform(k)
+        hu, body = render_fixture_hu(128, seed=5, transform=t)
+        b = body > 0
+        assert b.mean() > 0.15, f"transform {k} shrank the body away"
+        # nothing clipped: the frame border stays air
+        assert not b[0, :].any() and not b[-1, :].any()
+        assert not b[:, 0].any() and not b[:, -1].any()
+        gt = np.asarray(pseudo_label_slice(hu, body))
+        present = set(np.unique(gt[gt >= 0]).tolist())
+        assert present == {0, 1, 2, 3}, (k, present)
+    # distinct seeds give distinct poses
+    t0, t1 = fixture_transform(0), fixture_transform(1)
+    assert t0["angle"] != t1["angle"]
+
+
 def test_fixture_rendering_stats():
     """The rendered fixture itself: frame-filling body, two large lungs —
     the statistics the anatomy phantom mode was widened to cover."""
