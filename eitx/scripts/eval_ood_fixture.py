@@ -57,16 +57,17 @@ def fixture_transform(seed: int):
 
     The fixture is a single patient geometry; scoring it only at its
     native pose lets a model (or a training-distribution tweak) fit the
-    one layout. A rotation/flip/scale/shift family turns it into a
-    varied eval while keeping the anatomy real. Scale is bounded to
-    0.65-0.90 so the frame-filling body stays inside the frame at any
-    rotation angle."""
+    one layout. The family is bounded to poses thoracic CT plausibly
+    serves — tilt up to ~26 degrees, left/right mirror, zoom-out to
+    0.65 (also what keeps the frame-filling body in-frame), small
+    shifts — NOT arbitrary 360-degree spins, which no supine axial
+    series produces."""
     rng = np.random.default_rng(1000 + seed)
     return {
-        "angle": float(rng.uniform(0.0, 2 * np.pi)),
+        "angle": float(rng.uniform(-0.45, 0.45)),
         "flip": bool(rng.random() < 0.5),
-        "scale": float(rng.uniform(0.65, 0.90)),
-        "shift": rng.uniform(-0.05, 0.05, 2),
+        "scale": float(rng.uniform(0.65, 0.95)),
+        "shift": rng.uniform(-0.06, 0.06, 2),
     }
 
 
