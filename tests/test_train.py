@@ -244,6 +244,36 @@ def test_phantom_image_label_alignment():
     assert rot[lung].mean() > img[lung].mean() + 20.0
 
 
+def test_wide_pose_distribution():
+    """wide_pose=True widens the POSE family (rotation to +-0.45 rad,
+    bodies down to 0.65x the native minimum) while keeping the label
+    physics, and wide_pose=False stays bit-identical to every committed
+    stream (reports must remain reproducible)."""
+    from eitx.train.phantoms import phantom_batch, thorax_phantom_hu
+
+    # flag off: streams unchanged for every layout
+    for kw in ({}, {"rich": True}, {"anatomy": True}):
+        h1, _ = thorax_phantom_hu(np.random.default_rng(5), 96, **kw)
+        h2, _ = thorax_phantom_hu(np.random.default_rng(5), 96,
+                                  wide_pose=False, **kw)
+        assert np.array_equal(h1, h2), f"stream drifted for {kw}"
+    # flag on: body-size range extends below the native anatomy floor
+    # (the zoomed-out serving pose that first lost the thin fat rim)
+    fracs = []
+    rng = np.random.default_rng(13)
+    for _ in range(24):
+        _, body = thorax_phantom_hu(rng, 128, anatomy=True, wide_pose=True)
+        fracs.append((np.asarray(body) > 0).mean())
+    native_min = np.pi * 0.34 * 0.26  # anatomy rx*ry floor, ellipse area
+    assert min(fracs) < native_min * 0.75, \
+        f"wide_pose never sampled a zoomed-out body: min frac {min(fracs)}"
+    # batch path: labels still satisfy the image physics under wide poses
+    b = phantom_batch(2, 192, 40, np.random.default_rng(3),
+                      return_labels=True, anatomy_frac=1.0, wide_pose=True)
+    img, lab = b["images"][..., 0] * 255.0, b["labels"]
+    assert img[lab == 2].mean() < 30.0 and img[lab == 0].mean() > 150.0
+
+
 def test_partial_volume_augmentation():
     """pv_sigma_max blurs the IMAGE only — targets stay crisp.
 
