@@ -164,12 +164,10 @@ def main(argv=None):
 
 
 def _save_png(path: str, rgb: np.ndarray) -> None:
-    try:
-        import PIL.Image
+    from ..io import to_png_bytes
 
-        PIL.Image.fromarray(rgb).save(path)
-    except Exception:
-        np.save(path + ".npy", rgb)
+    with open(path, "wb") as fh:
+        fh.write(to_png_bytes(rgb))
 
 
 if __name__ == "__main__":
