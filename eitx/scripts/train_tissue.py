@@ -140,6 +140,16 @@ def main(argv=None):
                         "are PSF mixtures, the phantoms' piecewise-"
                         "constant tissues are not; 0 disables (default, "
                         "bit-identical streams)")
+    p.add_argument("--mosaic-prob", type=float, default=0.0,
+                   help="fraction of training samples replaced by a "
+                        "quadrant mosaic of four store samples at half "
+                        "scale (on-device; train/data.py): cross-scale "
+                        "supervision + seam-truncated and small "
+                        "instances. Mosaics hold up to 4x the store's "
+                        "instances under random budget selection, so "
+                        "pass --max-instances ABOVE the cache's budget "
+                        "(e.g. 120 over a 40-instance store); 0 keeps "
+                        "the batch stream bit-identical")
     p.add_argument("--data-seed", type=int, default=0,
                    help="phantom pregeneration seed (use a fresh seed "
                         "when continuing training from a checkpoint so "
@@ -299,7 +309,10 @@ def main(argv=None):
         # seed offset by the restored step: a --resume continuation draws
         # a fresh batch stream instead of replaying the original prefix
         device_batches(data, args.batch,
-                       seed=args.data_seed + start_step),
+                       seed=args.data_seed + start_step,
+                       mosaic_prob=args.mosaic_prob,
+                       mosaic_budget=(args.max_instances
+                                      if args.mosaic_prob else 0)),
         steps=args.steps,
         checkpoint_path=args.out + ".train",
         checkpoint_every=max(200, args.steps // 4),

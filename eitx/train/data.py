@@ -71,6 +71,8 @@ def device_batches(
     augment: bool = True,
     flip_h_prob: float = 0.5,
     flip_v_prob: float = 0.25,
+    mosaic_prob: float = 0.0,
+    mosaic_budget: int = 0,
 ):
     """Device-resident minibatch stream.
 
@@ -97,6 +99,22 @@ def device_batches(
     bool. A ``masks`` key is optional (detection-only stores). Sampling
     is i.i.d. uniform with replacement, vs an epoch shuffle —
     statistically equivalent over the multi-epoch budgets used here.
+
+    ``mosaic_prob`` > 0 replaces that fraction of samples with a
+    quadrant mosaic (YOLO-style, fixed center for static shapes): four
+    store samples downscaled 2x into the four quadrants of one canvas.
+    Each mosaic carries half-scale bodies (cross-scale supervision that
+    a fixed-imgsz stream never sees), instances truncated at quadrant
+    seams, and 4x the instance density. The target budget for a mosaic
+    is ``mosaic_budget`` (0 = same I as the store); candidates beyond
+    the budget are dropped by RANDOM selection among valid instances —
+    top-area selection would systematically discard exactly the small
+    muscle groups the augmentation exists to teach. Dropped instances
+    become background supervision for their anchors, so runs using
+    mosaics should raise the budget (``--max-instances``-sized targets
+    come from the caller's store; pass ``mosaic_budget`` up to 4x that).
+    ``mosaic_prob=0`` keeps the PRNG split count and every drawn batch
+    bit-identical to the pre-mosaic stream.
     """
     import jax
     import jax.numpy as jnp
@@ -107,12 +125,104 @@ def device_batches(
              for k in keys}
     n = int(store["images"].shape[0])
     size = float(data["images"].shape[1])
+    I_store = int(store["boxes"].shape[1])
+    I_out = max(int(mosaic_budget) or I_store, I_store)
+
+    def _pad_targets(b):
+        """Pad target axes from the store budget to I_out (mosaic runs
+        widen the budget; plain samples pad with invalid slots)."""
+        if I_out == I_store:
+            return b
+        pad = I_out - I_store
+        out = dict(b)
+        out["boxes"] = jnp.pad(b["boxes"], ((0, 0), (0, pad), (0, 0)))
+        out["classes"] = jnp.pad(b["classes"], ((0, 0), (0, pad)))
+        out["valid"] = jnp.pad(b["valid"], ((0, 0), (0, pad)))
+        if "masks" in b:
+            out["masks"] = jnp.pad(
+                b["masks"], ((0, 0), (0, pad), (0, 0), (0, 0))
+            )
+        return out
+
+    def _mosaic(store, kidx, ksel):
+        """(batch,) quadrant mosaics with random-selection budget."""
+        idx4 = jax.random.randint(kidx, (batch, 4), 0, n)
+        g = {k: jnp.take(v, idx4.reshape(-1), axis=0) for k, v in
+             store.items()}
+        # images: (4B, S, S, 3) u8 -> 2x2 mean downscale -> quadrants
+        img = g["images"]
+        s2 = img.shape[1] // 2
+        small = img.reshape(batch * 4, s2, 2, s2, 2, img.shape[-1])
+        small = small.astype(jnp.float32).mean((2, 4))
+        small = small.reshape(batch, 4, s2, s2, img.shape[-1])
+        top = jnp.concatenate([small[:, 0], small[:, 1]], axis=2)
+        bot = jnp.concatenate([small[:, 2], small[:, 3]], axis=2)
+        canvas = jnp.concatenate([top, bot], axis=1)
+        if jnp.issubdtype(img.dtype, jnp.integer):
+            canvas = jnp.round(canvas)
+        canvas = canvas.astype(img.dtype)
+        # boxes: scale 0.5 + per-quadrant offset; invalid slots stay 0
+        box = g["boxes"].reshape(batch, 4, I_store, 4) * 0.5
+        offs = jnp.asarray(
+            [[0.0, 0.0], [s2, 0.0], [0.0, s2], [s2, s2]], box.dtype
+        )
+        box = box + jnp.tile(offs[None, :, None, :], (1, 1, 1, 2))
+        val = g["valid"].reshape(batch, 4, I_store)
+        box = box * val[..., None]
+        box = box.reshape(batch, 4 * I_store, 4)
+        cls = g["classes"].reshape(batch, 4 * I_store)
+        val = val.reshape(batch, 4 * I_store)
+        # random budget selection among valid candidates
+        score = jax.random.uniform(ksel, (batch, 4 * I_store))
+        score = jnp.where(val, score + 1.0, score)  # valid first
+        _, keep = jax.lax.top_k(score, I_out)
+        take = lambda a: jnp.take_along_axis(  # noqa: E731
+            a, keep.reshape(keep.shape + (1,) * (a.ndim - 2)), axis=1
+        )
+        out = {
+            "images": canvas,
+            "boxes": take(box),
+            "classes": jnp.take_along_axis(cls, keep, axis=1),
+            "valid": jnp.take_along_axis(val, keep, axis=1),
+        }
+        if "masks" in g:
+            msk = g["masks"]  # (4B, I, r, r)
+            r = msk.shape[-1]
+            r2 = r // 2
+            m = msk.reshape(batch * 4 * I_store, r2, 2, r2, 2)
+            m = m.astype(jnp.float32).mean((2, 4))
+            m = m.reshape(batch, 4, I_store, r2, r2)
+            quad = jnp.zeros(
+                (batch, 4, I_store, r, r), jnp.float32
+            )
+            quad = quad.at[:, 0, :, :r2, :r2].set(m[:, 0])
+            quad = quad.at[:, 1, :, :r2, r2:].set(m[:, 1])
+            quad = quad.at[:, 2, :, r2:, :r2].set(m[:, 2])
+            quad = quad.at[:, 3, :, r2:, r2:].set(m[:, 3])
+            quad = quad.reshape(batch, 4 * I_store, r, r)
+            if jnp.issubdtype(msk.dtype, jnp.integer):
+                quad = jnp.round(quad)
+            out["masks"] = take(quad.astype(msk.dtype))
+        return out
 
     @jax.jit
     def draw(store, key):
-        kidx, kh, kv = jax.random.split(key, 3)
+        if mosaic_prob:
+            kidx, kh, kv, km, kmi, ksel = jax.random.split(key, 6)
+        else:
+            kidx, kh, kv = jax.random.split(key, 3)
         idx = jax.random.randint(kidx, (batch,), 0, n)
         b = {k: jnp.take(v, idx, axis=0) for k, v in store.items()}
+        b = _pad_targets(b)
+        if mosaic_prob:
+            mos = _mosaic(store, kmi, ksel)
+            sel = jax.random.uniform(km, (batch,)) < mosaic_prob
+            b = {
+                k: jnp.where(
+                    sel.reshape((batch,) + (1,) * (v.ndim - 1)), mos[k], v
+                )
+                for k, v in b.items()
+            }
         if not augment:
             return b
         img, box = b["images"], b["boxes"]

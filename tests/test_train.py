@@ -396,6 +396,72 @@ def test_device_batches_shapes_dtypes_and_flip_coherence():
     assert "masks" not in b and b["images"].shape[0] == bs
 
 
+def test_device_batches_mosaic_composition_and_budget():
+    """Quadrant mosaic: with a single-sample store the composition is
+    fully deterministic — canvas quadrants are the 2x2-mean downscale of
+    the sample, boxes land scaled+offset per quadrant, masks move to the
+    matching mask-canvas quadrant, and the widened budget pads with
+    invalid slots. mosaic_prob=0 must stay bit-identical to the
+    pre-mosaic stream (same PRNG split count)."""
+    from eitx.train.data import device_batches
+
+    imgsz, bs, I = 32, 2, 3
+    rng = np.random.default_rng(7)
+    data = {
+        "images": rng.integers(0, 255, (1, imgsz, imgsz, 3)).astype(
+            np.uint8
+        ),
+        "boxes": np.zeros((1, I, 4), np.float32),
+        "classes": np.asarray([[2, 1, 0]], np.int32),
+        "masks": np.zeros((1, I, imgsz // 2, imgsz // 2), np.uint8),
+        "valid": np.asarray([[True, True, False]], bool),
+    }
+    data["boxes"][0, 0] = [4.0, 6.0, 20.0, 28.0]
+    data["boxes"][0, 1] = [10.0, 2.0, 30.0, 12.0]
+    data["masks"][0, 0, 3:11, 2:10] = 255
+    data["masks"][0, 1, 1:6, 5:15] = 128
+
+    budget = 4 * I
+    b = next(device_batches(data, bs, seed=5, augment=False,
+                            mosaic_prob=1.0, mosaic_budget=budget))
+    assert b["images"].shape == (bs, imgsz, imgsz, 3)
+    assert b["boxes"].shape == (bs, budget, 4)
+    img = np.asarray(b["images"][0])
+    small = data["images"][0].reshape(
+        imgsz // 2, 2, imgsz // 2, 2, 3
+    ).astype(np.float32).mean((1, 3))
+    small = np.round(small).astype(np.uint8)
+    h = imgsz // 2
+    for (r0, c0) in ((0, 0), (0, h), (h, 0), (h, h)):
+        np.testing.assert_array_equal(img[r0:r0 + h, c0:c0 + h], small)
+    # 8 valid candidates (2 per quadrant copy), budget 12 -> all kept
+    val = np.asarray(b["valid"][0])
+    assert val.sum() == 8
+    boxes = np.asarray(b["boxes"][0])[val]
+    expect = set()
+    for ox, oy in ((0, 0), (h, 0), (0, h), (h, h)):
+        for i in (0, 1):
+            x1, y1, x2, y2 = data["boxes"][0, i] * 0.5
+            expect.add((x1 + ox, y1 + oy, x2 + ox, y2 + oy))
+    got = {tuple(np.round(bx, 3)) for bx in boxes}
+    assert got == expect
+    # masks follow their quadrant: each kept mask is nonzero only inside
+    # one mask-canvas quadrant and its 2x2-mean matches the source
+    masks = np.asarray(b["masks"][0])[val]
+    r = imgsz // 2
+    r2 = r // 2
+    for m in masks:
+        quads = [m[:r2, :r2], m[:r2, r2:], m[r2:, :r2], m[r2:, r2:]]
+        nz = [q.any() for q in quads]
+        assert sum(nz) == 1
+    # mosaic_prob=0 stays bit-identical to the pre-mosaic stream
+    a = next(device_batches(data, bs, seed=9, augment=True))
+    c = next(device_batches(data, bs, seed=9, augment=True,
+                            mosaic_prob=0.0))
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(c[k]))
+
+
 def test_resume_schedule_extends_past_restored_count(tmp_path):
     """A resumed run must keep a live LR: restoring an optimizer count of
     N into a schedule with total_steps <= N pins the cosine tail at ~0
