@@ -123,6 +123,15 @@ def main(argv=None):
                         "(eitx extension — bone/fat are resolution-bound "
                         "at stride 4). Recorded in checkpoint meta and "
                         "adopted automatically at inference")
+    p.add_argument("--cls-w", type=float, default=0.5,
+                   help="classification-loss gain (TrainConfig.cls_w; "
+                        "default 0.5 = reference-recipe balance). The "
+                        "confidence-calibration lever: the pinned OOD "
+                        "failures are detections scoring just under the "
+                        "0.3 serving threshold (whole muscle groups to "
+                        "background, one posed lung at conf 0.2) — a "
+                        "higher gain pushes marginal true detections "
+                        "over it")
     p.add_argument("--mask-class-weights", default=None,
                    help="comma-separated per-class mask-loss weights "
                         "(bone,muscles,lung,fat), e.g. '1.5,0.8,0.8,1.6'; "
@@ -238,7 +247,7 @@ def main(argv=None):
         total_steps=start_step + args.steps,
         warmup_steps=min(100, args.steps // 10),
         max_instances=args.max_instances, mask_topk=args.mask_topk,
-        proto_stride=args.proto_stride,
+        proto_stride=args.proto_stride, cls_w=args.cls_w,
         mask_class_w=(
             tuple(float(w) for w in args.mask_class_weights.split(","))
             if args.mask_class_weights else None
