@@ -87,6 +87,12 @@ class ModelConfig:
     ribs_imgsz: int = 640
     ribs_conf: float = 0.3
     axial_conf: float = 0.3
+    # Per-class confidence thresholds (bone, muscles, lung, fat) for the
+    # tissue segmenter — None keeps the reference's single conf
+    # (ai_tools.py:129-158 parity). A tuple is the serving-side recall
+    # lever for sub-threshold classes (round-3 OOD failure analysis);
+    # adjudicated on the OOD fixture before any default change.
+    axial_conf_per_class: Optional[Tuple[float, ...]] = None
     n_classes: int = 4
     max_detections: int = 64  # static NMS budget
     dtype: str = "bfloat16"

@@ -106,9 +106,18 @@ def nms_fixed(
 
     K = 4 * max_det candidates enter; exactly max_det slots come out with a
     validity mask — fully static shapes.
+
+    ``conf`` is a scalar (reference parity: one 0.3 threshold,
+    ai_tools.py:129-158) or a per-class tuple — the serving-side recall
+    lever for classes whose true instances sit just under the global
+    threshold (round-3 OOD analysis: one missing lung recovers at 0.2).
     """
     k_in = min(4 * max_det, scores.shape[0])
-    scores = jnp.where(scores >= conf, scores, 0.0)
+    if isinstance(conf, (tuple, list)):
+        thr = jnp.asarray(conf, scores.dtype)[classes]
+        scores = jnp.where(scores >= thr, scores, 0.0)
+    else:
+        scores = jnp.where(scores >= conf, scores, 0.0)
     top_scores, idx = jax.lax.top_k(scores, k_in)
     top_boxes = boxes[idx]
     top_classes = classes[idx]

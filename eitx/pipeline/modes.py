@@ -63,7 +63,8 @@ class Pipeline:
             max_det=m.max_detections, dtype=m.dtype, **model_kw,
         )
         self.seg_512 = TissueSegmenter(
-            512, weights=m.axial_weights_512, conf=m.axial_conf,
+            512, weights=m.axial_weights_512,
+            conf=m.axial_conf_per_class or m.axial_conf,
             variant=m.variant,
             max_det=m.max_detections, dtype=m.dtype, **model_kw,
         )
@@ -77,7 +78,8 @@ class Pipeline:
                 self._seg_256 = TissueSegmenter(
                     256,
                     weights=self.config.model.axial_weights_256,
-                    conf=self.config.model.axial_conf,
+                    conf=(self.config.model.axial_conf_per_class
+                          or self.config.model.axial_conf),
                     variant=self.config.model.variant,
                     max_det=self.config.model.max_detections,
                     dtype=self.config.model.dtype,

@@ -117,7 +117,8 @@ def render_fixture_hu(size: int = 512, noise_sigma: float = 12.0,
 
 def evaluate_ood(size: int, weights: str, variant: str = "n",
                  seed: int = 5, pv_sigma: float = 0.0,
-                 transform: dict = None) -> dict:
+                 transform: dict = None, hu_scale: float = 1.0,
+                 conf=0.3) -> dict:
     from ..eval.metrics import evaluate_dataset
     from ..image import window_normalize
     from ..models.yolo.infer import TissueSegmenter
@@ -127,7 +128,7 @@ def evaluate_ood(size: int, weights: str, variant: str = "n",
     # serving frame: the model consumes window_normalize output, which
     # includes the reference's rot180 (classic_norm) — so the GT labels,
     # computed in the raw hu frame, rotate to match
-    gt = pseudo_label_slice(hu, body)[::-1, ::-1]
+    gt = pseudo_label_slice(hu, body, hu_scale=hu_scale)[::-1, ::-1]
     if pv_sigma:
         # harder image, SAME ground truth: the GT above is derived from
         # the crisp render (identical noise field — see render_fixture_hu)
@@ -139,7 +140,7 @@ def evaluate_ood(size: int, weights: str, variant: str = "n",
     # 20+ instances (ribs, spine, scapulae), and a 16-slot budget crowds
     # the muscle/fat detections out entirely
     seg = TissueSegmenter(imgsz=size, weights=weights, variant=variant,
-                          max_det=64)
+                          max_det=64, conf=conf)
     pred = seg.segment_labels(img_u8[None], chunk=1, compose_full=True)[0]
     res = evaluate_dataset([(gt + 1, pred + 1)], n_classes=4)
     per = {n: round(res[c]["iou"], 4) for c, n in enumerate(_CLASS_NAMES)}
@@ -173,7 +174,33 @@ def main(argv=None):
                         "fixture_transform) per size — guards against "
                         "fitting the single native pose; reported as a "
                         "separate 'posed' section with mean and min")
+    p.add_argument("--holdout", action="store_true",
+                   help="FROZEN round-end protocol: noise seeds 1005+k "
+                        "and pose draws fixture_transform(100+k), both "
+                        "disjoint from every promotion decision to date "
+                        "(which used seeds 5+k / poses 0..5). Consult "
+                        "ONLY after the round's last promotion — never "
+                        "to steer a training run (docs/STATUS.md).")
+    p.add_argument("--conf-per-class", default=None,
+                   help="comma list of per-class conf thresholds "
+                        "(bone,muscles,lung,fat) replacing the scalar "
+                        "0.3 — the serving-side recall lever "
+                        "(ModelConfig.axial_conf_per_class)")
+    p.add_argument("--labeler-perturb", action="store_true",
+                   help="pseudo-labeler-independence probe: score each "
+                        "checkpoint against GT derived with the HU "
+                        "thresholds scaled x0.9 / x1.0 / x1.1; a serving"
+                        "-vs-candidate ranking that flips under the "
+                        "perturbation is a labeler artifact")
     args = p.parse_args(argv)
+    conf = 0.3
+    if args.conf_per_class:
+        conf = tuple(float(c) for c in args.conf_per_class.split(","))
+    seed_base = 1005 if args.holdout else 5
+    pose_base = 100 if args.holdout else 0
+    if args.holdout:
+        print("# HOLDOUT protocol: seeds %d+, poses fixture_transform(%d+)"
+              % (seed_base, pose_base))
     override = {256: args.ckpt_256, 512: args.ckpt_512}
     out = {}
     if args.pv_sigma:
@@ -182,7 +209,21 @@ def main(argv=None):
         w = override[size] or find_checkpoint("tissue", size)
         if w is None:
             continue
-        runs = [evaluate_ood(size, w, seed=5 + k, pv_sigma=args.pv_sigma)
+        if args.labeler_perturb:
+            out[str(size)] = {
+                "checkpoint": os.path.basename(w),
+                "macro_iou_by_hu_scale": {
+                    str(s): round(float(np.mean([
+                        evaluate_ood(size, w, seed=seed_base + k,
+                                     hu_scale=s)["macro_iou"]
+                        for k in range(args.seeds)
+                    ])), 4)
+                    for s in (0.9, 1.0, 1.1)
+                },
+            }
+            continue
+        runs = [evaluate_ood(size, w, seed=seed_base + k,
+                             pv_sigma=args.pv_sigma, conf=conf)
                 for k in range(args.seeds)]
         out[str(size)] = {
             "macro_iou": round(
@@ -199,9 +240,9 @@ def main(argv=None):
         }
         if args.transforms:
             posed = [
-                evaluate_ood(size, w, seed=5 + k,
-                             pv_sigma=args.pv_sigma,
-                             transform=fixture_transform(k))
+                evaluate_ood(size, w, seed=seed_base + k,
+                             pv_sigma=args.pv_sigma, conf=conf,
+                             transform=fixture_transform(pose_base + k))
                 for k in range(args.transforms)
             ]
             macros = [r["macro_iou"] for r in posed]

@@ -34,18 +34,35 @@ HU_RANGES: Dict[str, Tuple[float, float]] = {
 _CLASS_IDS = {"bone": 0, "muscles": 1, "lung": 2, "fat": 3}
 
 
+def _ranges_array(hu_scale: float = 1.0) -> jnp.ndarray:
+    """(4, 2) [lo, hi] rows in bone/muscles/lung/fat order, every bound
+    scaled by ``hu_scale`` — the pseudo-labeler-independence probe: an
+    eval ranking that survives the GT thresholds moving +-10% is not an
+    artifact of the labeler's exact cut points."""
+    return jnp.asarray(
+        [[lo * hu_scale, hi * hu_scale]
+         for lo, hi in (HU_RANGES["bone"], HU_RANGES["muscles"],
+                        HU_RANGES["lung"], HU_RANGES["fat"])],
+        jnp.float32,
+    )
+
+
 @jax.jit
-def _tissue_label_kernel(hu: jnp.ndarray, body: jnp.ndarray) -> jnp.ndarray:
+def _tissue_label_kernel(
+    hu: jnp.ndarray, body: jnp.ndarray, ranges: jnp.ndarray = None
+) -> jnp.ndarray:
     """(H, W) HU + body mask -> (H, W) int32 labels (-1 background)."""
     inside = body > 0
+    if ranges is None:
+        ranges = _ranges_array()
 
-    def rng(lo, hi):
-        return (hu >= lo) & (hu <= hi) & inside
+    def rng(row):
+        return (hu >= ranges[row, 0]) & (hu <= ranges[row, 1]) & inside
 
-    bone = fill_holes(binary_open(rng(*HU_RANGES["bone"]), 3))
-    muscles = fill_holes(binary_close(rng(*HU_RANGES["muscles"]), 5))
-    lung = fill_holes(binary_open(rng(*HU_RANGES["lung"]), 5))
-    fat = rng(*HU_RANGES["fat"])
+    bone = fill_holes(binary_open(rng(0), 3))
+    muscles = fill_holes(binary_close(rng(1), 5))
+    lung = fill_holes(binary_open(rng(2), 5))
+    fat = rng(3)
     lab = jnp.full(hu.shape, -1, jnp.int32)
     # first-writer-wins in the reference's hu_ranges order (air, bone,
     # muscle, fat — create_femm_dataset.py:757-766), so the lung/air mask
@@ -57,10 +74,19 @@ def _tissue_label_kernel(hu: jnp.ndarray, body: jnp.ndarray) -> jnp.ndarray:
     return lab
 
 
-def pseudo_label_slice(hu: np.ndarray, body_mask: np.ndarray) -> np.ndarray:
+def pseudo_label_slice(
+    hu: np.ndarray, body_mask: np.ndarray, hu_scale: float = 1.0
+) -> np.ndarray:
+    if hu_scale == 1.0:
+        return np.asarray(
+            _tissue_label_kernel(
+                jnp.asarray(hu, jnp.float32), jnp.asarray(body_mask)
+            )
+        )
     return np.asarray(
         _tissue_label_kernel(
-            jnp.asarray(hu, jnp.float32), jnp.asarray(body_mask)
+            jnp.asarray(hu, jnp.float32), jnp.asarray(body_mask),
+            _ranges_array(hu_scale),
         )
     )
 

@@ -345,6 +345,10 @@ def main(argv=None):
             "final_loss": float(metrics["loss"]),
             "mask_res": mask_res, "mask_topk": args.mask_topk,
             "proto_stride": args.proto_stride,
+            # loss-recipe provenance: a non-default run's artifacts must
+            # be distinguishable from the baseline recipe (r3 advice)
+            "cls_w": args.cls_w,
+            "mask_class_w": (args.mask_class_weights or None),
         },
     }
     with open(args.out, "wb") as fh:

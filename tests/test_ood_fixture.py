@@ -9,10 +9,14 @@ that exposed both round-3 training-data bugs (the rot180 frame
 misalignment and the ellipse/scale prior: muscles scored 0.0 IoU and
 one lung was missed entirely before the anatomy-instance phantom mode).
 
-This test pins the recovered capability with thresholds far below the
-measured numbers (256 slot: macro 0.77, lung 0.91 at promotion) but far
-above the failure modes they guard against (macro 0.27, muscles 0.0,
-lung 0.34) — seed noise won't trip them, a distribution regression will.
+Ratchet protocol (round-4 verdict item): thresholds track the serving
+checkpoints at measured - 0.07 — wide enough for seed noise (observed
+seed spread ~+-0.01) and eval-kernel drift, tight enough that a
+0.83 -> 0.65 collapse fails CI instead of passing silently. When a new
+checkpoint is promoted, re-ratchet to its measured numbers - 0.07 in the
+same commit. Measured baseline (weights/ood_fixture_report.json):
+256 macro 0.7988 / muscles 0.7153 / lung 0.8738;
+512 macro 0.8269 / muscles 0.7124 / fat 0.8845.
 """
 
 import numpy as np
@@ -28,12 +32,12 @@ def test_serving_256_on_patient_fixture():
         pytest.skip("no trained 256 checkpoint in weights/")
     res = evaluate_ood(256, ckpt, seed=5)
     per = res["per_class_iou"]
-    assert res["macro_iou"] >= 0.55, res
-    # the two historical failure modes, with wide margins:
-    assert per["muscles"] >= 0.30, (
+    assert res["macro_iou"] >= 0.72, res
+    # the two historical failure modes, ratcheted to measured - 0.07:
+    assert per["muscles"] >= 0.64, (
         f"muscle head not firing on real anatomy layout again: {per}"
     )
-    assert per["lung"] >= 0.70, (
+    assert per["lung"] >= 0.80, (
         f"lung detection/box regression on frame-filling bodies: {per}"
     )
 
@@ -47,14 +51,14 @@ def test_serving_512_on_patient_fixture():
         pytest.skip("no trained 512 checkpoint in weights/")
     res = evaluate_ood(512, ckpt, seed=5)
     per = res["per_class_iou"]
-    assert res["macro_iou"] >= 0.60, res
+    assert res["macro_iou"] >= 0.75, res
     # the 512 slot's historical failure modes (pre-anatomy-mix serving
-    # checkpoint: muscles 0.0, fat 0.43 at macro 0.446; promoted
-    # candidate measured muscles 0.80, fat 0.92 at macro 0.803):
-    assert per["muscles"] >= 0.35, (
+    # checkpoint: muscles 0.0, fat 0.43 at macro 0.446), ratcheted to
+    # measured - 0.07:
+    assert per["muscles"] >= 0.64, (
         f"muscle head not firing on real anatomy layout again: {per}"
     )
-    assert per["fat"] >= 0.60, (
+    assert per["fat"] >= 0.81, (
         f"fat regression on the patient-derived layout: {per}"
     )
 
@@ -81,6 +85,25 @@ def test_fixture_transform_renders_in_frame():
     # distinct seeds give distinct poses
     t0, t1 = fixture_transform(0), fixture_transform(1)
     assert t0["angle"] != t1["angle"]
+
+
+def test_pseudo_labeler_hu_scale():
+    """The labeler-independence probe's machinery: scale 1.0 is
+    bit-identical to the standing labeler; +-10% threshold scaling moves
+    only boundary pixels (same classes present, high agreement) — so a
+    ranking flip under the probe indicts the labeler, not the probe."""
+    from eitx.scripts.eval_ood_fixture import render_fixture_hu
+    from eitx.scripts.pseudo_label import pseudo_label_slice
+
+    hu, body = render_fixture_hu(128, seed=5)
+    base = pseudo_label_slice(hu, body)
+    same = pseudo_label_slice(hu, body, hu_scale=1.0)
+    assert np.array_equal(base, same)
+    for s in (0.9, 1.1):
+        pert = pseudo_label_slice(hu, body, hu_scale=s)
+        agree = float((pert == base).mean())
+        assert 0.9 < agree < 1.0, (s, agree)
+        assert set(np.unique(pert[pert >= 0])) == {0, 1, 2, 3}
 
 
 def test_fixture_rendering_stats():

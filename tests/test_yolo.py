@@ -99,6 +99,32 @@ def test_nms_suppresses_overlaps():
     assert np.asarray(det2.valid).sum() == 3
 
 
+def test_nms_per_class_conf():
+    """Tuple conf applies per-class thresholds; a scalar-equivalent tuple
+    is bit-identical to the scalar path (reference conf-0.3 parity)."""
+    boxes = jnp.asarray(
+        [[0, 0, 10, 10], [20, 20, 30, 30], [40, 40, 50, 50]], jnp.float32
+    )
+    scores = jnp.asarray([0.25, 0.25, 0.9])
+    classes = jnp.asarray([0, 2, 1], jnp.int32)
+    coefs = jnp.zeros((3, 2))
+    # scalar 0.3 drops both 0.25-score boxes
+    det = nms_fixed(boxes, scores, classes, coefs, 0.3, 0.45, 4)
+    assert np.asarray(det.valid).sum() == 1
+    # lowering only class 2's threshold recovers exactly that box
+    det2 = nms_fixed(boxes, scores, classes, coefs,
+                     (0.3, 0.3, 0.2, 0.3), 0.45, 4)
+    v2 = np.asarray(det2.valid)
+    assert v2.sum() == 2
+    kept = set(np.asarray(det2.classes)[v2].tolist())
+    assert kept == {1, 2}
+    # an all-equal tuple matches the scalar result exactly
+    det3 = nms_fixed(boxes, scores, classes, coefs,
+                     (0.3, 0.3, 0.3, 0.3), 0.45, 4)
+    for a, b in zip(det, det3):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_process_masks_crop():
     hp = wp = 8
     proto = np.zeros((hp, wp, 2), np.float32)
