@@ -385,6 +385,58 @@ def bench_eit_batch(n_subjects=8, frames=1200):
     return spectral_fps, n_subjects * 3600.0 / dt
 
 
+def bench_dataset_factory(n_subjects=4, imgsz=512):
+    """ONE number for the reference's actual request path: image in ->
+    `.dat` out through Pipeline.run_jpg_png's full tail (segment ->
+    cleanup -> contours -> mesh -> classify -> solve -> write), serving
+    checkpoints, default simulation workload (1200 voltage rows/subject:
+    n_points=100 x n_spir=12 x n_minutes=1 — ai_tools.py:188-255 /
+    synthetic_datasets_generator.py:300-345). Subjects/hour, single
+    chip, steady state (first subject compiles, excluded). Host stages
+    (contours, native mesher) serialize against device work here — that
+    is the point of measuring the whole path.
+    """
+    import dataclasses
+
+    from eitx.core.config import PipelineConfig
+    from eitx.core.weights import find_checkpoint
+    from eitx.pipeline.modes import Pipeline
+    from eitx.train.phantoms import phantom_batch
+
+    imgs = [
+        (phantom_batch(1, imgsz, 12,
+                       np.random.default_rng(9100 + s))["images"][0, ..., 0]
+         * 255).astype(np.uint8)
+        for s in range(n_subjects + 1)
+    ]
+    base = PipelineConfig()
+    cfg = dataclasses.replace(
+        base,
+        model=dataclasses.replace(
+            base.model,
+            axial_weights_512=find_checkpoint("tissue", 512),
+            axial_weights_256=find_checkpoint("tissue", 256),
+        ),
+        save_dataset=True,
+        results_dir="/tmp/eitx_bench_results",
+    )
+    pipe = Pipeline(cfg)
+    warm = pipe.run_jpg_png(imgs[-1])  # compile the whole path
+    if warm.get("status") != "success":
+        raise RuntimeError(f"warmup subject failed: {warm.get('status')}")
+    t0 = time.perf_counter()
+    ok = 0
+    for s in range(n_subjects):
+        ans = pipe.run_jpg_png(imgs[s])
+        ok += ans.get("status") == "success"
+        f = ans.get("saved_file_name")
+        assert f and os.path.exists(f), "no .dat written"
+    dt = time.perf_counter() - t0
+    if ok < n_subjects:
+        raise RuntimeError(f"only {ok}/{n_subjects} subjects succeeded")
+    return n_subjects * 3600.0 / dt
+
+
 def bench_greit(mesh, frames=12000, repeats=3):
     """GREIT linear imaging rate: images/sec for device-resident voltage
     frames through the trained reconstruction matrix (one matmul — the
@@ -401,6 +453,17 @@ def bench_greit(mesh, frames=12000, repeats=3):
     im = GreitImager.build(info.node, info.element, sigma_ref, el,
                            proto.ex_mat, proto.meas_mat)
     im.R.block_until_ready()
+    t_build_first = time.perf_counter() - t0
+    # steady-state build: a DIFFERENT mesh in the same padding bucket —
+    # the per-subject cost once the bucket's programs are compiled
+    # (round 3's 50 s was remote-compile time paid per fresh mesh shape;
+    # the node/element buckets amortize it exactly like the FEM solvers)
+    mesh2 = build_thorax_mesh(lc=7.0, jitter=0.03, seed=17)
+    info2, sigma2, el2, proto2 = monitoring_linearization(mesh2)
+    t0 = time.perf_counter()
+    im2 = GreitImager.build(info2.node, info2.element, sigma2, el2,
+                            proto2.ex_mat, proto2.meas_mat)
+    im2.R.block_until_ready()
     t_build = time.perf_counter() - t0
     dv = jnp.asarray(
         np.random.default_rng(0).standard_normal(
@@ -413,7 +476,7 @@ def bench_greit(mesh, frames=12000, repeats=3):
         t0 = time.perf_counter()
         np.asarray(_apply(im.R, mask, dv).sum())
         ts.append(time.perf_counter() - t0)
-    return frames / min(ts), t_build
+    return frames / min(ts), t_build, t_build_first
 
 
 def main():
@@ -445,10 +508,21 @@ def main():
         print(f"serving segmentation bench skipped: {e}", file=sys.stderr)
         srv_fps, srv_ckpt = None, None
     try:
-        greit_fps, greit_build_s = bench_greit(mesh)
+        greit_fps, greit_build_s, greit_build_first_s = bench_greit(mesh)
     except Exception as e:  # GREIT bench is best-effort
         print(f"GREIT bench skipped: {e}", file=sys.stderr)
-        greit_fps, greit_build_s = None, None
+        greit_fps, greit_build_s, greit_build_first_s = None, None, None
+    # the full image->dat pipeline carries one heavy whole-path compile
+    # in a fresh process; soft time budget so the headline JSON always
+    # lands even on a slow-compile attachment
+    factory_sph = None
+    if time.time() - t_start < 1500:
+        try:
+            factory_sph = bench_dataset_factory()
+        except Exception as e:  # factory bench is best-effort
+            print(f"dataset-factory bench skipped: {e}", file=sys.stderr)
+    else:
+        print("dataset-factory bench skipped: time budget", file=sys.stderr)
 
     bf16_peak, f32_peak, peak_known = _chip_peak_flops()
 
@@ -505,6 +579,11 @@ def main():
         "batched_subjects_per_hour": (
             round(subjects_per_hour, 1) if subjects_per_hour else None
         ),
+        # image -> .dat through the real request path (Pipeline.run_jpg_png
+        # full tail incl. host stages + file write), steady state
+        "pipeline_subjects_per_hour_e2e": (
+            round(factory_sph, 1) if factory_sph else None
+        ),
         # GREIT real-time imaging: device-resident frames through the
         # trained linear matrix (one matmul per monitoring)
         "greit_images_per_sec_device": (
@@ -512,6 +591,11 @@ def main():
         ),
         "greit_matrix_build_seconds": (
             round(greit_build_s, 3) if greit_build_s else None
+        ),
+        # first build in a fresh process (includes the bucket's one-time
+        # XLA compiles — what round 3 reported as the build time)
+        "greit_matrix_build_first_seconds": (
+            round(greit_build_first_s, 3) if greit_build_first_s else None
         ),
         # MFU: XLA cost_analysis FLOPs of the exact compiled programs /
         # measured phase seconds / chip peak. f32 peak assumed bf16/4

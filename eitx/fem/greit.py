@@ -69,16 +69,30 @@ def _pixels_inside(nodes, tris, xs, ys, npx: int):
     inside = ((s1 >= 0) & (s2 >= 0) & (s3 >= 0)) | (
         (s1 <= 0) & (s2 <= 0) & (s3 <= 0)
     )
+    # degenerate (zero-area) padding elements have all-zero sign tests
+    # and would otherwise claim every pixel
+    _, area = element_geometry(nodes, tris)
+    inside = inside & (area > 0)[None, :]
     return inside.any(axis=1).reshape(npx, npx)
 
 
-@functools.partial(jax.jit, static_argnames=("npx",))
-def _train_matrix(jac, cent, area, xs, ys, r_img, lam, npx: int):
-    """R (P^2, n_meas) from the target battery (one element = one target)."""
+@functools.partial(jax.jit, static_argnames=("npx", "m_real"))
+def _train_matrix(jac, cent, area, xs, ys, r_img, lam, npx: int,
+                  m_real: int = None):
+    """R (P^2, n_meas) from the target battery (one element = one target).
+
+    ``m_real``: number of real (non-padding) elements — the equal-area
+    median must ignore the zero-area padding tail or it collapses to 0.
+    Padding columns are inert downstream: zero Jacobian -> zero Y -> zero
+    W columns -> no contribution to R.
+    """
     with jax.default_matmul_precision("highest"):
         # equal-area targets: rescale each Jacobian column from "this
         # element's area" to the median target area
-        a0 = jnp.median(area)
+        if m_real is None or m_real >= area.shape[0]:
+            a0 = jnp.median(area)
+        else:
+            a0 = jnp.sort(area)[::-1][m_real // 2]
         Y = jac * (a0 / jnp.maximum(area, 1e-12))[None, :]  # (n_meas, M)
         # desired images: compact quadratic bump at each target centroid
         gx, gy = jnp.meshgrid(xs, ys)
@@ -151,6 +165,8 @@ class GreitImager:
         blur: float = 0.12,
         lam: float = 0.05,
         ref_node: int = 0,
+        pad_nodes_to: int = 1024,
+        pad_elems_to: int = 8192,
     ) -> "GreitImager":
         """Train R around ``sigma_ref`` on this mesh.
 
@@ -161,18 +177,46 @@ class GreitImager:
           lam: relative Tikhonov weight of the measurement-space solve
             (scaled by mean diag(Y Y^T), dimensionless); larger = smoother
             images and better noise rejection (GREIT's noise-figure knob).
+          pad_nodes_to / pad_elems_to: static-shape buckets (defaults match
+            SimulationConfig). Round 3 measured the build at 50 s — all
+            remote-compile time, because the unpadded mesh shape made
+            every subject a fresh XLA program; bucketing makes builds
+            after the first per bucket pure math (one 208^2 Cholesky +
+            one N-node factor, ~tens of ms).
         """
+        nodes = np.asarray(nodes, np.float64)
+        tris = np.asarray(tris, np.int64)
+        sigma_ref = np.asarray(sigma_ref, np.float64)
+        # real bbox before padding (padding nodes sit at the origin)
+        xmin, ymin = nodes.min(0)
+        xmax, ymax = nodes.max(0)
+        n_real = nodes.shape[0]
+        m_real = tris.shape[0]
+
+        def _up(x, m):
+            return ((x + m - 1) // m) * m
+
+        n_pad = _up(n_real, max(pad_nodes_to, 1))
+        m_pad = _up(tris.shape[0], max(pad_elems_to, 1))
+        if n_pad > n_real:
+            nodes = np.vstack([nodes, np.zeros((n_pad - n_real, 2))])
+        if m_pad > tris.shape[0]:
+            extra = m_pad - tris.shape[0]
+            # degenerate zero-area elements on node 0: zero stiffness,
+            # zero Jacobian column, zero-area (hence zero-weight) target
+            tris = np.vstack([tris, np.zeros((extra, 3), np.int64)])
+            sigma_ref = np.concatenate(
+                [sigma_ref, np.zeros((extra,), np.float64)]
+            )
         nodes_j = jnp.asarray(nodes, jnp.float32)
         tris_j = jnp.asarray(tris, jnp.int32)
         jac = _difference_jacobian(
             nodes_j, tris_j, jnp.asarray(sigma_ref, jnp.float32),
             jnp.asarray(el_pos), jnp.asarray(ex_mat), jnp.asarray(meas_mat),
-            nodes.shape[0], ref_node,
+            n_pad, ref_node, n_real=n_real,
         )
         _, area = element_geometry(nodes_j, tris_j)
         cent = nodes_j[tris_j].mean(axis=1)  # (M, 2)
-        xmin, ymin = np.asarray(nodes).min(0)
-        xmax, ymax = np.asarray(nodes).max(0)
         # pixel CENTERS: half-pixel inset so corners sample inside the bbox
         xs = jnp.linspace(xmin, xmax, npx + 1)[:-1] + (xmax - xmin) / (
             2 * npx
@@ -182,7 +226,7 @@ class GreitImager:
         )
         r_img = jnp.float32(blur * max(xmax - xmin, ymax - ymin))
         R = _train_matrix(jac, cent, area, xs, ys, r_img,
-                          jnp.float32(lam), npx)
+                          jnp.float32(lam), npx, m_real)
         mask = np.asarray(_pixels_inside(nodes_j, tris_j, xs, ys, npx))
         return cls(R=R, mask=mask, extent=(float(xmin), float(xmax),
                                            float(ymin), float(ymax)),
