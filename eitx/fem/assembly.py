@@ -93,6 +93,13 @@ class ClassStiffness:
     n_nodes: int  # padded size
     n_real_nodes: int
     n_classes: int
+    # host-side copies of the padded connectivity (numpy): lets the
+    # spectral solvers derive per-class node sets (lung-subspace indices)
+    # without a device->host readback — on relay-attached chips every
+    # readback is a link round-trip, and build_batch paid one per subject
+    tris_host: np.ndarray = None
+    elem_class_host: np.ndarray = None
+    grounded: bool = True
 
     @classmethod
     def build(
@@ -148,6 +155,9 @@ class ClassStiffness:
             n_nodes=n_pad,
             n_real_nodes=n_real,
             n_classes=n_classes,
+            tris_host=tris,
+            elem_class_host=elem_class,
+            grounded=ground_ref,
         )
 
     def system_matrices(self, sigma: jnp.ndarray) -> jnp.ndarray:

@@ -387,11 +387,22 @@ def _lung_subspace_indices(
 ):
     """Host-side lung-node index extraction, padded to the rank bucket.
 
-    The grounded per-class stiffness is PSD, so a node touches a lung
-    element iff its k_class[lung] diagonal entry is positive — only the
-    (N,) diagonal crosses device->host. Padding slots point at node 0 with
-    a zero mask (their scattered contributions vanish).
+    Computed from the host connectivity copy when available (zero device
+    traffic — the old (N,) diagonal readback cost one relay round-trip
+    PER SUBJECT, which is why the round-2 batched setup barely gained).
+    Padding slots point at node 0 with a zero mask (their scattered
+    contributions vanish). The grounded reference node is excluded, like
+    its zeroed row in k_class[lung] excluded it from the diag test.
     """
+    if cs.tris_host is not None:
+        sel = cs.elem_class_host == lung_class
+        nodes = np.unique(cs.tris_host[sel])
+        if cs.grounded:
+            nodes = nodes[nodes != cs.ref_node]
+        nodes = nodes.astype(np.int64)
+        diag = np.zeros((cs.n_nodes,), np.float64)
+        diag[nodes] = 1.0
+        return _indices_from_diag(diag, cs.n_nodes, rank_bucket)
     diag = np.asarray(jnp.diagonal(cs.k_class[lung_class]))
     return _indices_from_diag(diag, cs.n_nodes, rank_bucket)
 
@@ -416,7 +427,16 @@ def _round_up_int(x: int, m: int) -> int:
 
 def _lowrank_core(K_base, Kl, idx, mask, Brhs, readout_rows):
     """Shared Woodbury factorization given assembled K_base and the lung
-    pencil block. Returns (s2, u0, yq, zq)."""
+    pencil block. Returns (s2, u0, yq, zq).
+
+    TPU scheduling (round-4 setup-amortization work): the four N-sized
+    triangular solves fuse into two multi-RHS solves — decomposition
+    primitives, not matmuls, dominate this program's wall time on TPU.
+    (A Cholesky square-root of the lung block in place of its eigh was
+    tried and reverted: the singular subdomain block needs a 1e-6
+    diagonal shift, which tripled the voltage error vs the f64 oracle —
+    5.1e-4 -> 1.6e-3.)
+    """
     n = K_base.shape[-1]
     r = idx.shape[0]
     # lung-subspace block, padded slots masked out
@@ -425,7 +445,10 @@ def _lowrank_core(K_base, Kl, idx, mask, Brhs, readout_rows):
     R = Vs * jnp.sqrt(jnp.clip(lamS, 0.0))[None, :]  # Kl_s = R R^T
     SR = jnp.zeros((n, r), K_base.dtype).at[idx].add(R * mask[:, None])
     L = jnp.linalg.cholesky(K_base)
-    U = jax.scipy.linalg.solve_triangular(L, SR, lower=True)  # (N, r)
+    C_all = jax.scipy.linalg.solve_triangular(
+        L, jnp.concatenate([SR, Brhs], axis=1), lower=True
+    )  # (N, r + n_exc)
+    U, C0 = C_all[:, :r], C_all[:, r:]
     M = U.T @ U
     M = 0.5 * (M + M.T)
     s2, Vu = jnp.linalg.eigh(M)  # r x r
@@ -434,10 +457,11 @@ def _lowrank_core(K_base, Kl, idx, mask, Brhs, readout_rows):
     qs = jnp.where(live, jax.lax.rsqrt(jnp.maximum(s2, eps)), 0.0)
     Q = U @ (Vu * qs[None, :])  # (N, r) orthonormal live columns
     s2 = jnp.where(live, s2, 0.0)
-    C0 = jax.scipy.linalg.solve_triangular(L, Brhs, lower=True)
-    u0 = jax.scipy.linalg.solve_triangular(L.T, C0, lower=False)[readout_rows]
+    W_all = jax.scipy.linalg.solve_triangular(
+        L.T, jnp.concatenate([Q, C0], axis=1), lower=False
+    )[readout_rows]  # (E, r + n_exc)
+    zq, u0 = W_all[:, :r], W_all[:, r:]
     yq = Q.T @ C0  # (r, n_exc)
-    zq = jax.scipy.linalg.solve_triangular(L.T, Q, lower=False)[readout_rows]
     return s2, u0, yq, zq
 
 

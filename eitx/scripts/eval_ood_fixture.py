@@ -118,7 +118,10 @@ def render_fixture_hu(size: int = 512, noise_sigma: float = 12.0,
 def evaluate_ood(size: int, weights: str, variant: str = "n",
                  seed: int = 5, pv_sigma: float = 0.0,
                  transform: dict = None, hu_scale: float = 1.0,
-                 conf=0.3) -> dict:
+                 conf=0.3, seg=None) -> dict:
+    """Score one checkpoint on one fixture rendering. ``seg`` (a prebuilt
+    TissueSegmenter) skips the per-call model construction — sweeps over
+    seeds/poses reuse one compiled program instead of re-tracing."""
     from ..eval.metrics import evaluate_dataset
     from ..image import window_normalize
     from ..models.yolo.infer import TissueSegmenter
@@ -139,8 +142,9 @@ def evaluate_ood(size: int, weights: str, variant: str = "n",
     # (ModelConfig.max_detections = 64): real anatomy fragments bone into
     # 20+ instances (ribs, spine, scapulae), and a 16-slot budget crowds
     # the muscle/fat detections out entirely
-    seg = TissueSegmenter(imgsz=size, weights=weights, variant=variant,
-                          max_det=64, conf=conf)
+    if seg is None:
+        seg = TissueSegmenter(imgsz=size, weights=weights, variant=variant,
+                              max_det=64, conf=conf)
     pred = seg.segment_labels(img_u8[None], chunk=1, compose_full=True)[0]
     res = evaluate_dataset([(gt + 1, pred + 1)], n_classes=4)
     per = {n: round(res[c]["iou"], 4) for c, n in enumerate(_CLASS_NAMES)}

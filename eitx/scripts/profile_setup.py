@@ -192,6 +192,7 @@ def main(argv=None):
     for name, (fn, a) in stages.items():
         out[name] = {"single_ms": round(_timeit(fn, *a,
                                                 repeats=args.repeats), 3)}
+        print(json.dumps({name: out[name]}), flush=True)
 
     # ---- batched variants ---------------------------------------------
     k_stack = jnp.stack([c.k_class for c in css])
@@ -232,6 +233,7 @@ def main(argv=None):
         ms = _timeit(fn, *a, repeats=args.repeats)
         out[name]["batch_ms"] = round(ms, 3)
         out[name]["batch_per_subject_ms"] = round(ms / B, 3)
+        print(json.dumps({name + "_batch": out[name]}), flush=True)
 
     print(json.dumps(out, indent=1))
     if args.report:

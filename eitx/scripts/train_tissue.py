@@ -40,6 +40,7 @@ def pregenerate(n: int, imgsz: int, max_instances: int, seed: int,
 def evaluate_checkpoint(
     ckpt_path: str, imgsz: int, variant: str, n_eval: int = 32,
     seed: int = 777, rich: bool = False, anatomy: bool = False,
+    conf=0.3,
 ) -> dict:
     """Held-out macro IoU of the trained segmenter vs pseudo-labels.
 
@@ -53,7 +54,7 @@ def evaluate_checkpoint(
 
     seg = TissueSegmenter(
         imgsz=imgsz, weights=ckpt_path, variant=variant,
-        max_det=64 if anatomy else 16,
+        max_det=64 if anatomy else 16, conf=conf,
     )
     held = phantom_batch(
         n_eval, imgsz, 48 if anatomy else 12, np.random.default_rng(seed),
