@@ -140,16 +140,23 @@ def bench_eit(mesh, frames=1200, repeats=3):
 
     # marginal solve-only rate: once a subject's pencil is factored, how
     # fast do additional breathing frames come? (long monitorings /
-    # N_minutes >> 1 amortize here)
+    # N_minutes >> 1 amortize here). Minimum of 5 scalar-readback-timed
+    # runs at T=60000 — the round-3 single-shot T=12000 measurement was
+    # dominated by a one-off queue stall (0.46 s reported where repeated
+    # runs measure ~30 ms, the relay dispatch floor; the measurement-
+    # folded solve is ONE (T, r) x (r, 208) matmul, sub-ms on device).
     solver = LowRankSpectralSolver.build(
         cs, sigma[0], classes.name_to_id()["lung"], el,
         proto.ex_mat, proto.meas_mat, float(np.mean(sigma[:, 2])),
     )
-    big = jnp.tile(alphas, 10)  # 12000 frames
-    solver.solve(big).block_until_ready()
-    t0 = time.perf_counter()
-    np.asarray(solver.solve(big).sum())
-    t_solve_big = time.perf_counter() - t0
+    big = jnp.tile(alphas, 50)  # 60000 frames
+    np.asarray(solver.solve(big).sum())  # compile + warm
+    solve_times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(solver.solve(big).sum())
+        solve_times.append(time.perf_counter() - t0)
+    t_solve_big = min(solve_times)
     solve_only = big.shape[0] / t_solve_big
 
     # --- MFU accounting (analytic-by-XLA: cost_analysis of the exact
@@ -189,8 +196,8 @@ def bench_eit(mesh, frames=1200, repeats=3):
     mfu = {
         "setup_flops": flops_setup,
         "setup_seconds": round(t_setup, 4),
-        "solve_flops_12000_frames": flops_solve,
-        "solve_seconds_12000_frames": round(t_solve_big, 4),
+        "solve_flops_60000_frames": flops_solve,
+        "solve_seconds_60000_frames": round(t_solve_big, 4),
     }
     mfu["headline_worst_repeat_fps"] = round(frames / worst, 1)
     return frames / best, info.node.shape[0], np.asarray(v), solve_only, mfu
@@ -330,7 +337,7 @@ def bench_eit_batch(n_subjects=8, frames=1200):
         simulate_eit_monitoring_subjects,
     )
     from eitx.fem.protocol import create_protocol
-    from eitx.fem.spectral import LowRankSpectralSolver
+    from eitx.fem.spectral import LowRankSpectralSolver, lowrank_solve_batch
     from eitx.physio.materials import (
         generate_material_tables,
         tissue_conductivities,
@@ -367,7 +374,7 @@ def bench_eit_batch(n_subjects=8, frames=1200):
             css, sigma[0], lung, els, proto.ex_mat, proto.meas_mat,
             [a0] * n_subjects,
         )
-        return [s.solve(alphas) for s in solvers]
+        return lowrank_solve_batch(solvers, alphas)
 
     for v in spectral_job():  # compile warmup
         v.block_until_ready()
@@ -537,8 +544,8 @@ def main():
         eit_mfu.get("setup_flops"), eit_mfu.get("setup_seconds")
     )
     solve_tf = _tflops(
-        eit_mfu.get("solve_flops_12000_frames"),
-        eit_mfu.get("solve_seconds_12000_frames"),
+        eit_mfu.get("solve_flops_60000_frames"),
+        eit_mfu.get("solve_seconds_60000_frames"),
     )
     seg_tf = _tflops(
         seg_mfu.get("seg_flops_per_batch"),

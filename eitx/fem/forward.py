@@ -221,6 +221,13 @@ def simulate_eit_monitoring_subjects(
                 [alpha0] * len(idxs),
                 rank_bucket=cfg.spectral_rank_bucket,
             )
+            # one device program for the whole group's solves (a
+            # per-subject solve call pays one dispatch round-trip each)
+            from .spectral import lowrank_solve_batch
+
+            for i, v in zip(idxs, lowrank_solve_batch(solvers, alphas)):
+                results[i] = np.asarray(v).reshape(cfg.n_points, -1)
+            continue
         for i, solver in zip(idxs, solvers):
             results[i] = np.asarray(solver.solve(alphas)).reshape(
                 cfg.n_points, -1

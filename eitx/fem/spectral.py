@@ -213,22 +213,17 @@ def _spectral_setup_general(
 def _spectral_solve(lam, y0, z, alphas, alpha0, meas_mat):
     with jax.default_matmul_precision("highest"):
         denom = 1.0 + (alphas[:, None] - alpha0) * lam[None, :]  # (T, N)
-        # u_el[t,e,x] = sum_n z[e,n] y0[n,x] / denom[t,n]: contracting the
-        # frame-independent G[e,x,n] = z*y0 against (T, N) reciprocals keeps
-        # the whole solve one MXU matmul and never materializes the
-        # (T, N, n_exc) tensor (HBM traffic was the old per-frame cost).
-        G = jnp.einsum(
-            "en,nx->exn", z, y0, precision=jax.lax.Precision.HIGHEST
-        )
-        u_el = jnp.einsum(
-            "exn,tn->tex", G, 1.0 / denom,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-
-        def meas_one(u):
-            return _measure(u, meas_mat)
-
-        return jax.vmap(meas_one)(u_el)
+        # Fold electrode readout AND the measurement differences into one
+        # frame-independent operator H[x,m,n] = (z[n_row]-z[m_row])*y0 so
+        # the entire monitoring is ONE (T, N) x (N, n_exc*n_meas) matmul.
+        # The earlier formulation stopped at electrode potentials and ran
+        # a vmapped per-frame gather/subtract tail, which measured at
+        # ~10 GFLOP/s — gather-bound, 1000x under the MXU.
+        n_idx = meas_mat[:, :, 0]  # (n_exc, n_meas)
+        m_idx = meas_mat[:, :, 1]
+        H = (z[n_idx] - z[m_idx]) * y0.T[:, None, :]  # (n_exc, n_meas, N)
+        flat = (1.0 / denom) @ H.reshape(-1, H.shape[-1]).T
+        return flat.reshape(alphas.shape[0], *n_idx.shape)
 
 
 # ---------------------------------------------------------------------------
@@ -429,34 +424,50 @@ def _lowrank_core(K_base, Kl, idx, mask, Brhs, readout_rows):
     """Shared Woodbury factorization given assembled K_base and the lung
     pencil block. Returns (s2, u0, yq, zq).
 
-    TPU scheduling (round-4 setup-amortization work): the four N-sized
-    triangular solves fuse into two multi-RHS solves — decomposition
-    primitives, not matmuls, dominate this program's wall time on TPU.
-    (A Cholesky square-root of the lung block in place of its eigh was
-    tried and reverted: the singular subdomain block needs a 1e-6
-    diagonal shift, which tripled the voltage error vs the f64 oracle —
-    5.1e-4 -> 1.6e-3.)
+    TPU scheduling (round-4 setup-amortization work, measured by
+    eitx/scripts/profile_setup.py): the ONLY stage with real per-subject
+    device cost is the r x r eigh (23 ms/subject batched at r=768 vs
+    3-5 ms for the N=2560 Cholesky/trisolve/tensordot stages), and the
+    original factorization ran TWO of them (square-root of the lung
+    block, then diagonalization of the projected gram). This version
+    needs ONE:
+
+        A := L^-1 Kl L^-T = P Kl_s P^T,   P = L^-1 S,
+        G := P^T P = C C^T (small Cholesky),
+        C^T Kl_s C = Z diag(mu) Z^T      <- the single eigh,
+        Q := P C^-T Z  =>  A = Q diag(mu) Q^T,  Q^T Q = I.
+
+    The lung-block square-root disappears entirely — Kl_s enters only
+    through the congruence C^T Kl_s C — and the substitution is EXACT
+    (no diagonal shift; the earlier Cholesky-square-root attempt needed
+    one and tripled the oracle error). Dead (padding) slots: zero P
+    columns, unit G diagonal, mu = 0 -> f(a) = 0, inert. The four
+    N-sized triangular solves also fuse into two multi-RHS solves.
     """
     n = K_base.shape[-1]
     r = idx.shape[0]
     # lung-subspace block, padded slots masked out
     Kl_s = Kl[idx][:, idx] * (mask[:, None] * mask[None, :])
-    lamS, Vs = jnp.linalg.eigh(Kl_s)  # r x r
-    R = Vs * jnp.sqrt(jnp.clip(lamS, 0.0))[None, :]  # Kl_s = R R^T
-    SR = jnp.zeros((n, r), K_base.dtype).at[idx].add(R * mask[:, None])
+    # S: one-hot lung-node selector (dead slots zero)
+    S = jnp.zeros((n, r), K_base.dtype).at[idx, jnp.arange(r)].set(mask)
     L = jnp.linalg.cholesky(K_base)
     C_all = jax.scipy.linalg.solve_triangular(
-        L, jnp.concatenate([SR, Brhs], axis=1), lower=True
+        L, jnp.concatenate([S, Brhs], axis=1), lower=True
     )  # (N, r + n_exc)
-    U, C0 = C_all[:, :r], C_all[:, r:]
-    M = U.T @ U
-    M = 0.5 * (M + M.T)
-    s2, Vu = jnp.linalg.eigh(M)  # r x r
+    P, C0 = C_all[:, :r], C_all[:, r:]
+    G = P.T @ P + jnp.diag(1.0 - mask)
+    G = 0.5 * (G + G.T)
+    C = jnp.linalg.cholesky(G)  # r x r
+    Bt = C.T @ (Kl_s @ C)
+    Bt = 0.5 * (Bt + Bt.T)
+    s2, Z = jnp.linalg.eigh(Bt)  # the single r x r eigh
     eps = jnp.maximum(s2.max(), 0.0) * 1e-7
     live = s2 > eps
-    qs = jnp.where(live, jax.lax.rsqrt(jnp.maximum(s2, eps)), 0.0)
-    Q = U @ (Vu * qs[None, :])  # (N, r) orthonormal live columns
     s2 = jnp.where(live, s2, 0.0)
+    Y = jax.scipy.linalg.solve_triangular(
+        C.T, jnp.where(live[None, :], Z, 0.0), lower=False
+    )  # C^-T Z, dead columns zeroed
+    Q = P @ Y  # (N, r): orthonormal live columns of A's eigenbasis
     W_all = jax.scipy.linalg.solve_triangular(
         L.T, jnp.concatenate([Q, C0], axis=1), lower=False
     )[readout_rows]  # (E, r + n_exc)
@@ -512,20 +523,47 @@ def _lowrank_setup_batch(
     return jax.vmap(one)(k_stack, d_stack, idxs, masks, el_stack, a0s)
 
 
+def lowrank_solve_batch(solvers, lung_alphas):
+    """Solve MANY same-bucket subjects' monitorings in ONE device program.
+
+    Per-subject ``solver.solve`` calls pay one dispatch round-trip each —
+    ~25 ms on relay-attached chips (profile_setup.py), which for 8
+    subjects was costing more than the solve math itself. Stacks the
+    factored operators (same shapes by construction from build_batch)
+    and runs one vmapped solve. Returns a list of (T, n_exc, n_meas).
+    """
+    s2 = jnp.stack([s.s2 for s in solvers])
+    u0 = jnp.stack([s.u0 for s in solvers])
+    yq = jnp.stack([s.yq for s in solvers])
+    zq = jnp.stack([s.zq for s in solvers])
+    a0 = jnp.asarray([s.alpha0 for s in solvers], s2.dtype)
+    alphas = jnp.asarray(lung_alphas, s2.dtype)
+    out = _lowrank_solve_batched(
+        s2, u0, yq, zq, alphas, a0, solvers[0].meas_mat
+    )
+    return [out[b] for b in range(len(solvers))]
+
+
+@jax.jit
+def _lowrank_solve_batched(s2, u0, yq, zq, alphas, a0s, meas_mat):
+    def one(s2b, u0b, yqb, zqb, a0b):
+        return _lowrank_solve(s2b, u0b, yqb, zqb, alphas, a0b, meas_mat)
+
+    return jax.vmap(one)(s2, u0, yq, zq, a0s)
+
+
 @jax.jit
 def _lowrank_solve(s2, u0, yq, zq, alphas, alpha0, meas_mat):
     with jax.default_matmul_precision("highest"):
         c = alphas - alpha0  # (T,)
         cs2 = c[:, None] * s2[None, :]
         f = cs2 / (1.0 + cs2)  # (T, r)
-        G = jnp.einsum(
-            "er,rx->exr", zq, yq, precision=jax.lax.Precision.HIGHEST
-        )
-        u_el = u0[None] - jnp.einsum(
-            "exr,tr->tex", G, f, precision=jax.lax.Precision.HIGHEST
-        )
-
-        def meas_one(u):
-            return _measure(u, meas_mat)
-
-        return jax.vmap(meas_one)(u_el)
+        # Measurement-folded operator (see _spectral_solve): the whole
+        # monitoring is one (T, r) x (r, n_exc*n_meas) matmul plus the
+        # baseline measurement broadcast — no per-frame gathers.
+        n_idx = meas_mat[:, :, 0]  # (n_exc, n_meas)
+        m_idx = meas_mat[:, :, 1]
+        H = (zq[n_idx] - zq[m_idx]) * yq.T[:, None, :]  # (n_exc, n_meas, r)
+        v0 = _measure(u0, meas_mat)  # (n_exc, n_meas)
+        flat = f @ H.reshape(-1, H.shape[-1]).T  # (T, n_exc*n_meas)
+        return v0[None] - flat.reshape(alphas.shape[0], *n_idx.shape)

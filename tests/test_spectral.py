@@ -146,6 +146,33 @@ def test_lowrank_build_batch_matches_single():
         )
 
 
+def test_lowrank_solve_batch_matches_per_solver():
+    """The one-launch group solve is bit-comparable to per-solver calls
+    (same compiled math, just vmapped over the stacked operators)."""
+    from eitx.fem.spectral import LowRankSpectralSolver, lowrank_solve_batch
+
+    proto = create_protocol(16, 1, 1, "std")
+    subs = []
+    for seed in (0, 1, 2):
+        nodes, tris, cls = disk_mesh_with_classes(40 + seed, 5)
+        el = place_electrodes_equal_spacing(nodes, tris, 16,
+                                            starting_angle=np.pi)
+        cs = ClassStiffness.build(nodes, tris, cls, n_classes=5,
+                                  pad_nodes_to=512, pad_elems_to=1024)
+        subs.append((cs, el))
+    sigma0 = np.array([0.006, 0.35, 0.15, 0.017, 0.0002])
+    alphas = np.linspace(0.1, 0.2, 5)
+    a0 = float(alphas.mean())
+    solvers = LowRankSpectralSolver.build_batch(
+        [cs for cs, _ in subs], sigma0, 2, [el for _, el in subs],
+        proto.ex_mat, proto.meas_mat, [a0] * 3, rank_bucket=64,
+    )
+    fused = lowrank_solve_batch(solvers, alphas)
+    for s, vf in zip(solvers, fused):
+        vs = np.asarray(s.solve(alphas))
+        assert np.allclose(vs, np.asarray(vf), rtol=1e-5, atol=1e-8)
+
+
 def test_lowrank_no_lung_mesh_is_constant():
     """A mesh with no lung elements: the low-rank path degrades to the
     baseline solve and breathing has no effect."""
