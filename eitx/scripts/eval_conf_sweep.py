@@ -31,20 +31,24 @@ _CLASS_NAMES = ("bone", "muscles", "lung", "fat")
 
 
 def sweep_one(size: int, weights: str, conf, seeds: int = 3,
-              transforms: int = 6, pv_sigma: float = 1.5) -> dict:
+              transforms: int = 6, pv_sigma: float = 1.5,
+              max_det: int = 64, nms_iou: float = 0.45,
+              tta_fill: bool = False) -> dict:
     from ..models.yolo.infer import TissueSegmenter
     from .eval_ood_fixture import evaluate_ood, fixture_transform
     from .train_tissue import evaluate_checkpoint
 
     seg = TissueSegmenter(imgsz=size, weights=weights, variant="n",
-                          max_det=64, conf=conf)
-    crisp = [evaluate_ood(size, weights, seed=5 + k, seg=seg)
+                          max_det=max_det, iou=nms_iou, conf=conf)
+    crisp = [evaluate_ood(size, weights, seed=5 + k, seg=seg,
+                          tta_fill=tta_fill)
              for k in range(seeds)]
     posed = [evaluate_ood(size, weights, seed=5 + k, seg=seg,
-                          transform=fixture_transform(k))
+                          transform=fixture_transform(k),
+                          tta_fill=tta_fill)
              for k in range(transforms)]
     pv = [evaluate_ood(size, weights, seed=5 + k, pv_sigma=pv_sigma,
-                       seg=seg)
+                       seg=seg, tta_fill=tta_fill)
           for k in range(seeds)]
     macros = [r["macro_iou"] for r in posed]
 
@@ -55,6 +59,9 @@ def sweep_one(size: int, weights: str, conf, seeds: int = 3,
 
     out = {
         "conf": conf if isinstance(conf, float) else list(conf),
+        "max_det": max_det,
+        "nms_iou": nms_iou,
+        "tta_fill": tta_fill,
         "crisp_macro_iou": round(
             float(np.mean([r["macro_iou"] for r in crisp])), 4),
         "crisp_per_class_iou": _mean_per_class(crisp),
@@ -70,11 +77,13 @@ def sweep_one(size: int, weights: str, conf, seeds: int = 3,
             float(np.mean([r["macro_iou"] for r in pv])), 4),
         # phantom giveback guard (clean seed, NOT any training stream)
         "phantom_clean_macro_iou": evaluate_checkpoint(
-            weights, size, "n", n_eval=32, seed=424242, conf=conf
+            weights, size, "n", n_eval=32, seed=424242, conf=conf,
+            nms_iou=nms_iou,
         )["macro_iou"],
         "phantom_anatomy_macro_iou": evaluate_checkpoint(
             weights, size, "n", n_eval=32, seed=424242, anatomy=True,
-            conf=conf
+            conf=conf, max_det=max_det if max_det != 64 else None,
+            nms_iou=nms_iou,
         )["macro_iou"],
     }
     return out
@@ -92,6 +101,11 @@ def main(argv=None):
                    help="also score the scalar-0.3 baseline through the "
                         "same protocol (same seeds) for the comparison "
                         "table")
+    p.add_argument("--max-det", type=int, default=64,
+                   help="NMS detection budget (proposal-vs-budget probe)")
+    p.add_argument("--nms-iou", type=float, default=0.45)
+    p.add_argument("--tta-fill", action="store_true",
+                   help="hflip TTA with background-fill-only merge")
     p.add_argument("--report", default=None)
     args = p.parse_args(argv)
 
@@ -102,10 +116,14 @@ def main(argv=None):
             continue
         runs = []
         if args.baseline:
-            runs.append(sweep_one(size, w, 0.3))
+            runs.append(sweep_one(size, w, 0.3, max_det=args.max_det,
+                                  nms_iou=args.nms_iou,
+                                  tta_fill=args.tta_fill))
         for setting in args.settings.split(";"):
             conf = tuple(float(c) for c in setting.split(","))
-            runs.append(sweep_one(size, w, conf))
+            runs.append(sweep_one(size, w, conf, max_det=args.max_det,
+                                  nms_iou=args.nms_iou,
+                                  tta_fill=args.tta_fill))
         out[str(size)] = {
             "checkpoint": os.path.basename(w),
             "runs": runs,

@@ -118,7 +118,7 @@ def render_fixture_hu(size: int = 512, noise_sigma: float = 12.0,
 def evaluate_ood(size: int, weights: str, variant: str = "n",
                  seed: int = 5, pv_sigma: float = 0.0,
                  transform: dict = None, hu_scale: float = 1.0,
-                 conf=0.3, seg=None) -> dict:
+                 conf=0.3, seg=None, tta_fill: bool = False) -> dict:
     """Score one checkpoint on one fixture rendering. ``seg`` (a prebuilt
     TissueSegmenter) skips the per-call model construction — sweeps over
     seeds/poses reuse one compiled program instead of re-tracing."""
@@ -146,6 +146,16 @@ def evaluate_ood(size: int, weights: str, variant: str = "n",
         seg = TissueSegmenter(imgsz=size, weights=weights, variant=variant,
                               max_det=64, conf=conf)
     pred = seg.segment_labels(img_u8[None], chunk=1, compose_full=True)[0]
+    if tta_fill:
+        # hflip test-time pass, merged background-fill-only: pixels the
+        # straight pass left unlabeled take the mirrored pass's label
+        # (recall lever for whole-group proposal misses — cannot
+        # overwrite an existing label; FP risk carried by the phantom
+        # giveback guard in eval_conf_sweep)
+        mirr = np.ascontiguousarray(img_u8[::, ::-1])
+        pf = seg.segment_labels(mirr[None], chunk=1,
+                                compose_full=True)[0][:, ::-1]
+        pred = np.where(pred < 0, pf, pred)
     res = evaluate_dataset([(gt + 1, pred + 1)], n_classes=4)
     per = {n: round(res[c]["iou"], 4) for c, n in enumerate(_CLASS_NAMES)}
     return {

@@ -40,7 +40,7 @@ def pregenerate(n: int, imgsz: int, max_instances: int, seed: int,
 def evaluate_checkpoint(
     ckpt_path: str, imgsz: int, variant: str, n_eval: int = 32,
     seed: int = 777, rich: bool = False, anatomy: bool = False,
-    conf=0.3,
+    conf=0.3, max_det: int = None, nms_iou: float = 0.45,
 ) -> dict:
     """Held-out macro IoU of the trained segmenter vs pseudo-labels.
 
@@ -54,7 +54,8 @@ def evaluate_checkpoint(
 
     seg = TissueSegmenter(
         imgsz=imgsz, weights=ckpt_path, variant=variant,
-        max_det=64 if anatomy else 16, conf=conf,
+        max_det=max_det or (64 if anatomy else 16), conf=conf,
+        iou=nms_iou,
     )
     held = phantom_batch(
         n_eval, imgsz, 48 if anatomy else 12, np.random.default_rng(seed),
