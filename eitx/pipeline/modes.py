@@ -66,7 +66,8 @@ class Pipeline:
             512, weights=m.axial_weights_512,
             conf=m.axial_conf_per_class or m.axial_conf,
             variant=m.variant,
-            max_det=m.max_detections, dtype=m.dtype, **model_kw,
+            max_det=m.max_detections, dtype=m.dtype,
+            tta_fill=m.axial_tta_fill, **model_kw,
         )
         self._seg_256: Optional[TissueSegmenter] = None
         self._model_kw = model_kw
@@ -83,6 +84,7 @@ class Pipeline:
                     variant=self.config.model.variant,
                     max_det=self.config.model.max_detections,
                     dtype=self.config.model.dtype,
+                    tta_fill=self.config.model.axial_tta_fill,
                     **self._model_kw,
                 )
             return self._seg_256

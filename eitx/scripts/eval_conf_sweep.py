@@ -39,16 +39,15 @@ def sweep_one(size: int, weights: str, conf, seeds: int = 3,
     from .train_tissue import evaluate_checkpoint
 
     seg = TissueSegmenter(imgsz=size, weights=weights, variant="n",
-                          max_det=max_det, iou=nms_iou, conf=conf)
-    crisp = [evaluate_ood(size, weights, seed=5 + k, seg=seg,
+                          max_det=max_det, iou=nms_iou, conf=conf,
                           tta_fill=tta_fill)
+    crisp = [evaluate_ood(size, weights, seed=5 + k, seg=seg)
              for k in range(seeds)]
     posed = [evaluate_ood(size, weights, seed=5 + k, seg=seg,
-                          transform=fixture_transform(k),
-                          tta_fill=tta_fill)
+                          transform=fixture_transform(k))
              for k in range(transforms)]
     pv = [evaluate_ood(size, weights, seed=5 + k, pv_sigma=pv_sigma,
-                       seg=seg, tta_fill=tta_fill)
+                       seg=seg)
           for k in range(seeds)]
     macros = [r["macro_iou"] for r in posed]
 
@@ -78,12 +77,12 @@ def sweep_one(size: int, weights: str, conf, seeds: int = 3,
         # phantom giveback guard (clean seed, NOT any training stream)
         "phantom_clean_macro_iou": evaluate_checkpoint(
             weights, size, "n", n_eval=32, seed=424242, conf=conf,
-            nms_iou=nms_iou,
+            nms_iou=nms_iou, tta_fill=tta_fill,
         )["macro_iou"],
         "phantom_anatomy_macro_iou": evaluate_checkpoint(
             weights, size, "n", n_eval=32, seed=424242, anatomy=True,
             conf=conf, max_det=max_det if max_det != 64 else None,
-            nms_iou=nms_iou,
+            nms_iou=nms_iou, tta_fill=tta_fill,
         )["macro_iou"],
     }
     return out

@@ -121,7 +121,9 @@ def evaluate_ood(size: int, weights: str, variant: str = "n",
                  conf=0.3, seg=None, tta_fill: bool = False) -> dict:
     """Score one checkpoint on one fixture rendering. ``seg`` (a prebuilt
     TissueSegmenter) skips the per-call model construction — sweeps over
-    seeds/poses reuse one compiled program instead of re-tracing."""
+    seeds/poses reuse one compiled program instead of re-tracing; its
+    own tta_fill setting then governs (``tta_fill`` here only shapes the
+    segmenter built when ``seg`` is None)."""
     from ..eval.metrics import evaluate_dataset
     from ..image import window_normalize
     from ..models.yolo.infer import TissueSegmenter
@@ -144,18 +146,8 @@ def evaluate_ood(size: int, weights: str, variant: str = "n",
     # the muscle/fat detections out entirely
     if seg is None:
         seg = TissueSegmenter(imgsz=size, weights=weights, variant=variant,
-                              max_det=64, conf=conf)
+                              max_det=64, conf=conf, tta_fill=tta_fill)
     pred = seg.segment_labels(img_u8[None], chunk=1, compose_full=True)[0]
-    if tta_fill:
-        # hflip test-time pass, merged background-fill-only: pixels the
-        # straight pass left unlabeled take the mirrored pass's label
-        # (recall lever for whole-group proposal misses — cannot
-        # overwrite an existing label; FP risk carried by the phantom
-        # giveback guard in eval_conf_sweep)
-        mirr = np.ascontiguousarray(img_u8[::, ::-1])
-        pf = seg.segment_labels(mirr[None], chunk=1,
-                                compose_full=True)[0][:, ::-1]
-        pred = np.where(pred < 0, pf, pred)
     res = evaluate_dataset([(gt + 1, pred + 1)], n_classes=4)
     per = {n: round(res[c]["iou"], 4) for c, n in enumerate(_CLASS_NAMES)}
     return {

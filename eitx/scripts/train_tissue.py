@@ -41,6 +41,7 @@ def evaluate_checkpoint(
     ckpt_path: str, imgsz: int, variant: str, n_eval: int = 32,
     seed: int = 777, rich: bool = False, anatomy: bool = False,
     conf=0.3, max_det: int = None, nms_iou: float = 0.45,
+    tta_fill: bool = False,
 ) -> dict:
     """Held-out macro IoU of the trained segmenter vs pseudo-labels.
 
@@ -55,7 +56,7 @@ def evaluate_checkpoint(
     seg = TissueSegmenter(
         imgsz=imgsz, weights=ckpt_path, variant=variant,
         max_det=max_det or (64 if anatomy else 16), conf=conf,
-        iou=nms_iou,
+        iou=nms_iou, tta_fill=tta_fill,
     )
     held = phantom_batch(
         n_eval, imgsz, 48 if anatomy else 12, np.random.default_rng(seed),

@@ -559,3 +559,31 @@ def test_trained_checkpoint_predicts_in_input_frame(imgsz):
         f"(got mean {f[lung].mean():.1f}); if this fails the training "
         "image/label frames have diverged again"
     )
+
+
+def test_tta_fill_background_only_merge():
+    """hflip TTA must be a monotone background-fill: wherever the merged
+    labels differ from the straight pass, the straight pass was
+    background (-1) — an existing label is never overwritten. On a
+    mirror-symmetric input the merge is a no-op."""
+    base = TissueSegmenter(imgsz=IMG, variant="n", max_det=8, seed=3,
+                           conf=0.0)
+    tta = TissueSegmenter(imgsz=IMG, variant="n", max_det=8, seed=3,
+                          conf=0.0, tta_fill=True)
+    rng = np.random.default_rng(11)
+    imgs = rng.integers(0, 255, (3, IMG, IMG), dtype=np.uint8)
+    straight = base.segment_labels(imgs, chunk=8)
+    merged = tta.segment_labels(imgs, chunk=8)
+    diff = merged != straight
+    assert np.all(straight[diff] == -1)
+    # where the straight pass labeled, the merge preserved it exactly
+    assert np.array_equal(merged[straight >= 0], straight[straight >= 0])
+    # mirror-symmetric input: flipped pass sees the same image, so the
+    # fill can only add what the straight pass already produced
+    sym = np.concatenate([imgs[:, :, : IMG // 2],
+                          imgs[:, :, : IMG // 2][:, :, ::-1]], axis=2)
+    s_straight = base.segment_labels(sym, chunk=8)
+    s_merged = tta.segment_labels(sym, chunk=8)
+    d = s_merged != s_straight
+    assert np.all(s_straight[d] == -1)
+    assert np.all(s_merged[d] == s_straight[:, :, ::-1][d])
