@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from typing import Optional, Tuple, Union
 
 
 @dataclass(frozen=True)
@@ -93,11 +93,14 @@ class ModelConfig:
     # lever for sub-threshold classes (round-3 OOD failure analysis);
     # adjudicated on the OOD fixture before any default change.
     axial_conf_per_class: Optional[Tuple[float, ...]] = None
-    # hflip TTA with background-fill-only merge on the tissue segmenter
-    # (2x device cost; round-4 OOD adjudication: crisp macro +0.05/256,
-    # posed lung min 0.48->0.82). False keeps single-pass reference
-    # parity (ai_tools.py:129-158).
-    axial_tta_fill: bool = False
+    # flip-TTA with background-fill-only merge on the tissue segmenter:
+    # False/True = 1/2 views (straight / +hflip), 3 adds vflip
+    # (n_views x device cost; round-4 OOD adjudication: crisp macro
+    # +0.05 at 256, posed lung min 0.48->0.84 — hflip catches the
+    # orientation-shaped proposal misses, vflip the one pose hflip
+    # cannot). False keeps single-pass reference parity
+    # (ai_tools.py:129-158).
+    axial_tta_fill: Union[bool, int] = False
     n_classes: int = 4
     max_detections: int = 64  # static NMS budget
     dtype: str = "bfloat16"

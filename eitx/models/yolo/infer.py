@@ -97,14 +97,20 @@ class YoloRunner:
         self.conf = conf
         self.iou = iou
         self.max_det = max_det
-        # hflip test-time augmentation with background-fill-only merge:
+        # flip test-time augmentation with background-fill-only merge:
         # the straight pass's labels always win; pixels it left
-        # unlabeled (-1) take the mirrored pass's label. A monotone
-        # recall lever for whole-group proposal misses (round-4 OOD
-        # adjudication: posed lung 0.48->0.82, crisp macro +0.05 at 256)
-        # at 2x device cost; off by default (reference has no TTA —
-        # ai_tools.py:129-158 runs one forward pass).
-        self.tta_fill = tta_fill
+        # unlabeled (-1) take the first extra view's label (priority
+        # order: hflip, then vflip). A monotone recall lever for
+        # whole-group proposal misses (round-4 OOD adjudication: hflip
+        # lifts posed lung 0.48->0.82 at 256 and crisp macro +0.05;
+        # vflip recovers the one 512 pose hflip cannot, lung
+        # 0.48->0.84) at n_views x device cost; off by default (the
+        # reference has no TTA — ai_tools.py:129-158 is one forward
+        # pass). ``tta_fill`` accepts False/True (1/2 views) or an
+        # explicit view count (3 = straight+hflip+vflip).
+        self.tta_views = (2 if tta_fill is True
+                          else max(1, int(tta_fill or 1)))
+        self.tta_fill = self.tta_views > 1
         self.compute_dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
         if weights:
             from .convert import load_weights
@@ -170,7 +176,7 @@ class YoloRunner:
         nh, nw = int(round(h * scale)), int(round(w * scale))
 
         cdtype = self.compute_dtype
-        tta_fill = self.tta_fill
+        tta_views = self.tta_views
 
         @jax.jit
         def run(x_u8):
@@ -185,13 +191,16 @@ class YoloRunner:
                     (b, imgsz, imgsz, 3), 114.0 / 255.0, cdtype
                 )
                 x = jax.lax.dynamic_update_slice(canvas, x, (0, pad_y, pad_x, 0))
-            if tta_fill:
-                # mirrored pass rides the same program as batch rows
-                # [b:2b]; flipping the LETTERBOXED canvas is its own
-                # exact inverse on the label canvas (content returns to
-                # the identical pixel window), so the merge below needs
-                # no letterbox bookkeeping
-                x = jnp.concatenate([x, x[:, :, ::-1]], axis=0)
+            if tta_views > 1:
+                # extra flip views ride the same program as batch rows
+                # [b:2b], [2b:3b]; flipping the LETTERBOXED canvas is
+                # its own exact inverse on the label canvas (content
+                # returns to the identical pixel window), so the merge
+                # below needs no letterbox bookkeeping
+                views = [x, x[:, :, ::-1]]
+                if tta_views > 2:
+                    views.append(x[:, ::-1])
+                x = jnp.concatenate(views, axis=0)
             out = model.apply(variables, x, train=False)
             # throughput path composes at PROTO resolution (imgsz/4):
             # returning the coarse image cuts the device->host transfer
@@ -204,9 +213,14 @@ class YoloRunner:
                 out, (imgsz, imgsz), conf, iou, max_det,
                 out_hw=(imgsz // q, imgsz // q),
             )
-            if tta_fill:
-                lab, labf = labels[:b], labels[b:, :, ::-1]
-                labels = jnp.where(lab < 0, labf, lab)
+            if tta_views > 1:
+                lab = labels[:b]
+                lab = jnp.where(lab < 0, labels[b:2 * b, :, ::-1], lab)
+                if tta_views > 2:
+                    lab = jnp.where(
+                        lab < 0, labels[2 * b:3 * b, ::-1], lab
+                    )
+                labels = lab
             return labels.astype(jnp.int8)
 
         return run

@@ -105,9 +105,13 @@ def main(argv=None):
     p.add_argument("--nms-iou", type=float, default=0.45)
     p.add_argument("--tta-fill", action="store_true",
                    help="hflip TTA with background-fill-only merge")
+    p.add_argument("--tta-views", type=int, default=0,
+                   help="explicit TTA view count (2 = +hflip, 3 = "
+                        "+vflip); overrides --tta-fill")
     p.add_argument("--report", default=None)
     args = p.parse_args(argv)
 
+    tta = args.tta_views or args.tta_fill
     out = {}
     for size in (int(s) for s in args.sizes.split(",")):
         w = find_checkpoint("tissue", size)
@@ -116,13 +120,11 @@ def main(argv=None):
         runs = []
         if args.baseline:
             runs.append(sweep_one(size, w, 0.3, max_det=args.max_det,
-                                  nms_iou=args.nms_iou,
-                                  tta_fill=args.tta_fill))
+                                  nms_iou=args.nms_iou, tta_fill=tta))
         for setting in args.settings.split(";"):
             conf = tuple(float(c) for c in setting.split(","))
             runs.append(sweep_one(size, w, conf, max_det=args.max_det,
-                                  nms_iou=args.nms_iou,
-                                  tta_fill=args.tta_fill))
+                                  nms_iou=args.nms_iou, tta_fill=tta))
         out[str(size)] = {
             "checkpoint": os.path.basename(w),
             "runs": runs,

@@ -192,6 +192,12 @@ def main(argv=None):
                         "(bone,muscles,lung,fat) replacing the scalar "
                         "0.3 — the serving-side recall lever "
                         "(ModelConfig.axial_conf_per_class)")
+    p.add_argument("--tta-fill", action="store_true",
+                   help="hflip TTA with background-fill merge "
+                        "(ModelConfig.axial_tta_fill serving path)")
+    p.add_argument("--tta-views", type=int, default=0,
+                   help="explicit TTA view count (2 = +hflip, 3 = "
+                        "+vflip); overrides --tta-fill")
     p.add_argument("--labeler-perturb", action="store_true",
                    help="pseudo-labeler-independence probe: score each "
                         "checkpoint against GT derived with the HU "
@@ -199,6 +205,7 @@ def main(argv=None):
                         "-vs-candidate ranking that flips under the "
                         "perturbation is a labeler artifact")
     args = p.parse_args(argv)
+    tta = args.tta_views or args.tta_fill
     conf = 0.3
     if args.conf_per_class:
         conf = tuple(float(c) for c in args.conf_per_class.split(","))
@@ -229,7 +236,8 @@ def main(argv=None):
             }
             continue
         runs = [evaluate_ood(size, w, seed=seed_base + k,
-                             pv_sigma=args.pv_sigma, conf=conf)
+                             pv_sigma=args.pv_sigma, conf=conf,
+                             tta_fill=tta)
                 for k in range(args.seeds)]
         out[str(size)] = {
             "macro_iou": round(
@@ -248,6 +256,7 @@ def main(argv=None):
             posed = [
                 evaluate_ood(size, w, seed=seed_base + k,
                              pv_sigma=args.pv_sigma, conf=conf,
+                             tta_fill=tta,
                              transform=fixture_transform(pose_base + k))
                 for k in range(args.transforms)
             ]

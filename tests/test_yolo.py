@@ -587,3 +587,19 @@ def test_tta_fill_background_only_merge():
     d = s_merged != s_straight
     assert np.all(s_straight[d] == -1)
     assert np.all(s_merged[d] == s_straight[:, :, ::-1][d])
+
+
+def test_tta_three_views_monotone():
+    """3-view TTA (straight+hflip+vflip) keeps the monotone-fill
+    invariant and can only add labels over the 2-view merge."""
+    two = TissueSegmenter(imgsz=IMG, variant="n", max_det=8, seed=3,
+                          conf=0.0, tta_fill=True)
+    three = TissueSegmenter(imgsz=IMG, variant="n", max_det=8, seed=3,
+                            conf=0.0, tta_fill=3)
+    assert two.tta_views == 2 and three.tta_views == 3
+    rng = np.random.default_rng(13)
+    imgs = rng.integers(0, 255, (2, IMG, IMG), dtype=np.uint8)
+    m2 = two.segment_labels(imgs, chunk=8)
+    m3 = three.segment_labels(imgs, chunk=8)
+    diff = m3 != m2
+    assert np.all(m2[diff] == -1)  # vflip view only fills background
