@@ -107,7 +107,8 @@ class YoloRunner:
         # 0.48->0.84) at n_views x device cost; off by default (the
         # reference has no TTA — ai_tools.py:129-158 is one forward
         # pass). ``tta_fill`` accepts False/True (1/2 views) or an
-        # explicit view count (3 = straight+hflip+vflip).
+        # explicit view count (3 = +vflip, 4 = +rot180 — the view that
+        # recovers the one 512 eval pose the single flips cannot).
         self.tta_views = (2 if tta_fill is True
                           else max(1, int(tta_fill or 1)))
         self.tta_fill = self.tta_views > 1
@@ -200,6 +201,8 @@ class YoloRunner:
                 views = [x, x[:, :, ::-1]]
                 if tta_views > 2:
                     views.append(x[:, ::-1])
+                if tta_views > 3:
+                    views.append(x[:, ::-1, ::-1])
                 x = jnp.concatenate(views, axis=0)
             out = model.apply(variables, x, train=False)
             # throughput path composes at PROTO resolution (imgsz/4):
@@ -219,6 +222,10 @@ class YoloRunner:
                 if tta_views > 2:
                     lab = jnp.where(
                         lab < 0, labels[2 * b:3 * b, ::-1], lab
+                    )
+                if tta_views > 3:
+                    lab = jnp.where(
+                        lab < 0, labels[3 * b:4 * b, ::-1, ::-1], lab
                     )
                 labels = lab
             return labels.astype(jnp.int8)

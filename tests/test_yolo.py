@@ -603,3 +603,17 @@ def test_tta_three_views_monotone():
     m3 = three.segment_labels(imgs, chunk=8)
     diff = m3 != m2
     assert np.all(m2[diff] == -1)  # vflip view only fills background
+
+
+def test_tta_four_views_monotone():
+    """4-view TTA (+rot180) only fills background over the 3-view merge."""
+    three = TissueSegmenter(imgsz=IMG, variant="n", max_det=8, seed=3,
+                            conf=0.0, tta_fill=3)
+    four = TissueSegmenter(imgsz=IMG, variant="n", max_det=8, seed=3,
+                           conf=0.0, tta_fill=4)
+    rng = np.random.default_rng(17)
+    imgs = rng.integers(0, 255, (2, IMG, IMG), dtype=np.uint8)
+    m3 = three.segment_labels(imgs, chunk=8)
+    m4 = four.segment_labels(imgs, chunk=8)
+    diff = m4 != m3
+    assert np.all(m3[diff] == -1)
