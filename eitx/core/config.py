@@ -92,15 +92,24 @@ class ModelConfig:
     # (ai_tools.py:129-158 parity). A tuple is the serving-side recall
     # lever for sub-threshold classes (round-3 OOD failure analysis);
     # adjudicated on the OOD fixture before any default change.
-    axial_conf_per_class: Optional[Tuple[float, ...]] = None
+    # Round-4 promoted serving defaults (weights/conf_sweep_r4.json
+    # protocol: 3 noise seeds x 6 poses x pv1.5 blur on the
+    # patient-derived fixture + phantom clean/anatomy giveback guards).
+    # Scalar conf 0.3 with no TTA restores reference parity
+    # (ai_tools.py:129-158: one forward pass, one 0.3 threshold);
+    # the promoted defaults raise OOD crisp macro 0.799->0.866 (256)
+    # and 0.827->0.901 (512) with the phantom evals unchanged-or-better.
+    axial_conf_per_class: Optional[Tuple[float, ...]] = (
+        0.15, 0.05, 0.1, 0.15)
     # flip-TTA with background-fill-only merge on the tissue segmenter:
-    # False/True = 1/2 views (straight / +hflip), 3 adds vflip
-    # (n_views x device cost; round-4 OOD adjudication: crisp macro
-    # +0.05 at 256, posed lung min 0.48->0.84 — hflip catches the
-    # orientation-shaped proposal misses, vflip the one pose hflip
-    # cannot). False keeps single-pass reference parity
-    # (ai_tools.py:129-158).
-    axial_tta_fill: Union[bool, int] = False
+    # False/True = 1/2 views (straight / +hflip), 3 adds vflip, 4 adds
+    # rot180 (n_views x device cost on the per-request quality path
+    # only — bulk throughput benches construct single-pass segmenters).
+    # hflip catches orientation-shaped whole-group proposal misses
+    # (posed lung 0.48->0.82 at 256), vflip buys the crisp-pose gains,
+    # rot180 recovers the one eval pose single flips cannot (512 posed
+    # lung min 0.51->0.84).
+    axial_tta_fill: Union[bool, int] = 4
     n_classes: int = 4
     max_detections: int = 64  # static NMS budget
     dtype: str = "bfloat16"

@@ -118,3 +118,32 @@ def test_fixture_rendering_stats():
     assert 0.6 < frac < 0.75, f"body fraction drifted: {frac}"
     lung = np.asarray(gt) == 2
     assert lung.mean() > 0.2, "lungs must dominate the fixture interior"
+
+
+def test_serving_config_promotion_256():
+    """The round-4 PROMOTED serving configuration (per-class conf +
+    4-view TTA, ModelConfig defaults) on the fixture — ratcheted to the
+    adjudicated numbers - 0.07 (sweep_tta4: crisp macro 0.8664,
+    muscles 0.8084, lung 0.9432). The raw-checkpoint tests above pin
+    the no-lever behavior; this one pins what Pipeline() actually
+    serves."""
+    from eitx.core.config import ModelConfig
+    from eitx.core.weights import find_checkpoint
+    from eitx.models.yolo.infer import TissueSegmenter
+    from eitx.scripts.eval_ood_fixture import evaluate_ood
+
+    ckpt = find_checkpoint("tissue", 256)
+    if ckpt is None:
+        pytest.skip("no trained 256 checkpoint in weights/")
+    m = ModelConfig()
+    assert m.axial_conf_per_class == (0.15, 0.05, 0.1, 0.15)
+    assert m.axial_tta_fill == 4
+    seg = TissueSegmenter(imgsz=256, weights=ckpt, variant="n",
+                          max_det=m.max_detections,
+                          conf=m.axial_conf_per_class,
+                          tta_fill=m.axial_tta_fill)
+    res = evaluate_ood(256, ckpt, seed=5, seg=seg)
+    per = res["per_class_iou"]
+    assert res["macro_iou"] >= 0.79, res
+    assert per["muscles"] >= 0.73, per
+    assert per["lung"] >= 0.87, per
