@@ -233,8 +233,12 @@ def bench_eit_oracle(mesh, frames=9):
     return 1.0 / float(np.min(per_frame[1:]))
 
 
-def bench_segmentation(batch=128, imgsz=512, repeats=5):
+def bench_segmentation(batch=512, imgsz=512, repeats=5):
     """Returns (e2e_slices_per_sec, device_slices_per_sec, link_mbps).
+
+    batch 512 (was 128): the round-4 per-stage profile showed the ~28 ms
+    relay dispatch floor was 35% of the batch-128 wall; 512 amortizes it
+    (2412 -> 3631 slices/s serving, +51%).
 
     End-to-end includes host<->device transfer, streamed/overlapped in
     chunks (segment_labels). On relay-attached dev chips the link caps at
@@ -281,7 +285,7 @@ def bench_segmentation(batch=128, imgsz=512, repeats=5):
     return batch / min(e2e), batch / min(dev), link_mbps, mfu
 
 
-def bench_serving_segmentation(batch=128, imgsz=512, repeats=5):
+def bench_serving_segmentation(batch=512, imgsz=512, repeats=5):
     """Device slices/s of the checkpoint the service actually resolves
     (trained weights; the graph follows whatever variant/proto_stride the
     resolved slot's meta carries). The headline bench above measures a
