@@ -76,22 +76,26 @@ def _pixels_inside(nodes, tris, xs, ys, npx: int):
     return inside.any(axis=1).reshape(npx, npx)
 
 
-@functools.partial(jax.jit, static_argnames=("npx", "m_real"))
+@functools.partial(jax.jit, static_argnames=("npx",))
 def _train_matrix(jac, cent, area, xs, ys, r_img, lam, npx: int,
-                  m_real: int = None):
+                  m_real=None):
     """R (P^2, n_meas) from the target battery (one element = one target).
 
     ``m_real``: number of real (non-padding) elements — the equal-area
     median must ignore the zero-area padding tail or it collapses to 0.
-    Padding columns are inert downstream: zero Jacobian -> zero Y -> zero
-    W columns -> no contribution to R.
+    TRACED (scalar array, not a static int) so one compiled program
+    serves every mesh in an element bucket — as a static arg it re-keyed
+    a fresh ~27 s remote compile per subject. Padding columns are inert
+    downstream: zero Jacobian -> zero Y -> zero W columns -> no
+    contribution to R.
     """
     with jax.default_matmul_precision("highest"):
         # equal-area targets: rescale each Jacobian column from "this
         # element's area" to the median target area
-        if m_real is None or m_real >= area.shape[0]:
+        if m_real is None:
             a0 = jnp.median(area)
         else:
+            m_real = jnp.minimum(jnp.asarray(m_real), area.shape[0])
             a0 = jnp.sort(area)[::-1][m_real // 2]
         Y = jac * (a0 / jnp.maximum(area, 1e-12))[None, :]  # (n_meas, M)
         # desired images: compact quadratic bump at each target centroid

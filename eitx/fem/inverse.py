@@ -73,11 +73,11 @@ class DifferenceImager:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_nodes", "ref_node", "n_real")
+    jax.jit, static_argnames=("n_nodes", "ref_node")
 )
 def _difference_jacobian(
     nodes, tris, sigma_e, el_pos, ex_mat, meas_mat, n_nodes: int,
-    ref_node: int = 0, n_real: int = None,
+    ref_node: int = 0, n_real=None,
 ):
     """(n_exc * n_meas, M) sensitivity of measured differences to
     per-element conductivity, via the adjoint fields.
@@ -86,15 +86,20 @@ def _difference_jacobian(
     nodes (isolated rows get a unit diagonal so K stays SPD) — the same
     bucketing trick ClassStiffness uses, so one compiled program serves
     every mesh in a node bucket instead of paying a fresh remote XLA
-    compile (~minutes) per subject shape.
+    compile (~minutes) per subject shape. ``n_real`` is TRACED (a scalar
+    array, not a static int): round 4 found the static version re-keyed
+    a fresh program per subject (27 s remote compile each) even inside
+    one node bucket, exactly the disease the bucket exists to cure.
     """
     with jax.default_matmul_precision("highest"):
         K = assemble_stiffness(nodes, tris, sigma_e, n_nodes)
         K = K.at[ref_node, :].set(0.0).at[:, ref_node].set(0.0)
         K = K.at[ref_node, ref_node].set(1.0)
-        if n_real is not None and n_real < n_nodes:
-            pad = (jnp.arange(n_nodes) >= n_real).astype(K.dtype)
-            K = K + jnp.diag(pad)
+        if n_real is None:
+            n_real = n_nodes
+        pad = (jnp.arange(n_nodes) >= n_real).astype(K.dtype)
+        pad = pad.at[ref_node].set(0.0)
+        K = K + jnp.diag(pad)
         # fields for every electrode injected against electrode 0 gauge:
         # measurement adjoints are differences of single-electrode fields
         n_el = el_pos.shape[0]
