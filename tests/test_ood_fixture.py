@@ -147,3 +147,27 @@ def test_serving_config_promotion_256():
     assert res["macro_iou"] >= 0.79, res
     assert per["muscles"] >= 0.73, per
     assert per["lung"] >= 0.87, per
+
+
+def test_serving_config_promotion_512():
+    """The promoted serving configuration at the 512 slot (crisp macro
+    adjudicated 0.9014, muscles 0.8441, lung 0.9479 — sweep_tta4),
+    ratcheted to measured - 0.07."""
+    from eitx.core.config import ModelConfig
+    from eitx.core.weights import find_checkpoint
+    from eitx.models.yolo.infer import TissueSegmenter
+    from eitx.scripts.eval_ood_fixture import evaluate_ood
+
+    ckpt = find_checkpoint("tissue", 512)
+    if ckpt is None:
+        pytest.skip("no trained 512 checkpoint in weights/")
+    m = ModelConfig()
+    seg = TissueSegmenter(imgsz=512, weights=ckpt, variant="n",
+                          max_det=m.max_detections,
+                          conf=m.axial_conf_per_class,
+                          tta_fill=m.axial_tta_fill)
+    res = evaluate_ood(512, ckpt, seed=5, seg=seg)
+    per = res["per_class_iou"]
+    assert res["macro_iou"] >= 0.83, res
+    assert per["muscles"] >= 0.77, per
+    assert per["lung"] >= 0.87, per
