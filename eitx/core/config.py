@@ -127,6 +127,14 @@ class MeshConfig:
     skin_width: float = 1.0  # >0 offset ring; 0 none; -1 boundary elems
     show_inner_contours: bool = False
     classify_samples: int = 8  # sample points per triangle for class voting
+    # Classify-kernel shape-bucket FLOORS for the serving pipeline: one
+    # (contours, points) shape serves essentially every real subject, so
+    # a long-lived process compiles the kernel once instead of paying a
+    # ~2-18 s remote-(cache-)compile per fresh shape — measured as THE
+    # dominant cost of the image->dat tail (round 4). Library default
+    # floors (4/64, classify.py) stay small for tests/tiny meshes.
+    classify_bucket_contours: int = 32
+    classify_bucket_points: int = 512
 
 
 @dataclass(frozen=True)

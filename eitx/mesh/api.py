@@ -101,6 +101,8 @@ def create_mesh(
     is_saving_to_file: bool = False,
     export_filename: Optional[str] = None,
     classify_samples: int = 8,
+    classify_bucket_contours: int = 4,
+    classify_bucket_points: int = 64,
 ):
     """Triangulate the outer contour and classify elements by tissue.
 
@@ -149,6 +151,8 @@ def create_mesh(
         outer_poly=outer_geo,
         skin_width=skin_width,
         n_samples=classify_samples,
+        bucket_contours=classify_bucket_contours,
+        bucket_points=classify_bucket_points,
     )
 
     img = None

@@ -170,6 +170,22 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _round_up_pow2(x: int, base: int) -> int:
+    """Smallest base * 2^k >= x — GEOMETRIC shape buckets.
+
+    Linear buckets (multiples of base) gave nearly every real subject a
+    distinct (C_pad, P_pad) pair, and on remote-compile TPU attachments
+    each distinct shape costs ~18 s to compile (~2 s to reload from the
+    persistent cache) — measured as 2-21 s per classify call, the
+    dominant cost of the whole image->dat pipeline tail. Power-of-two
+    buckets collapse the shape family to log-many programs; after 2-3
+    subjects everything is warm (measured ~30 ms)."""
+    out = base
+    while out < x:
+        out *= 2
+    return out
+
+
 def classify_triangles(
     nodes: np.ndarray,
     tris: np.ndarray,
@@ -206,8 +222,8 @@ def classify_triangles(
     else:
         cids, polys, _ = pad_contours(inner)
         C, P = polys.shape[0], polys.shape[1]
-        C_pad = _round_up(C, bucket_contours)
-        P_pad = _round_up(P, bucket_points)
+        C_pad = _round_up_pow2(C, bucket_contours)
+        P_pad = _round_up_pow2(P, bucket_points)
         if P_pad > P:
             polys = np.concatenate(
                 [polys, np.repeat(polys[:, -1:], P_pad - P, axis=1)], axis=1
@@ -231,7 +247,7 @@ def classify_triangles(
     if skin_width == -1 and outer_poly is not None and len(outer_poly) >= 3:
         ring = np.asarray(outer_poly, dtype=np.float64)
         R = ring.shape[0]
-        R_pad = _round_up(R, bucket_points)
+        R_pad = _round_up_pow2(R, bucket_points)
         if R_pad > R:
             ring = np.vstack([ring, np.tile(ring[-1:], (R_pad - R, 1))])
         touching = np.asarray(

@@ -156,6 +156,8 @@ class Pipeline:
                 skin_width=cfg.mesh.skin_width,
                 is_show_inner_contours=cfg.mesh.show_inner_contours,
                 classify_samples=cfg.mesh.classify_samples,
+                classify_bucket_contours=cfg.mesh.classify_bucket_contours,
+                classify_bucket_points=cfg.mesh.classify_bucket_points,
             )
             if img_mesh is not None:
                 img_mesh = img_mesh[::-1]  # cv2.flip(img, 0) parity
