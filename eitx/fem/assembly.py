@@ -126,8 +126,12 @@ class ClassStiffness:
             extra = m_pad - tris.shape[0]
             # degenerate (zero-area) elements on node 0: zero contribution
             tris = np.vstack([tris, np.zeros((extra, 3), dtype=np.int64)])
+            # pad with -1 (no valid class): one_hot(-1) is an all-zero
+            # row, so k_class is unchanged, and host-side per-class
+            # consumers (elem_class_host == cid) never match padding —
+            # padding with 0 aliased real class 0 (round-4 advice)
             elem_class = np.concatenate(
-                [elem_class, np.zeros((extra,), dtype=np.int64)]
+                [elem_class, np.full((extra,), -1, dtype=np.int64)]
             )
 
         nodes_j = jnp.asarray(nodes, dtype=dtype)

@@ -96,7 +96,11 @@ def _train_matrix(jac, cent, area, xs, ys, r_img, lam, npx: int,
             a0 = jnp.median(area)
         else:
             m_real = jnp.minimum(jnp.asarray(m_real), area.shape[0])
-            a0 = jnp.sort(area)[::-1][m_real // 2]
+            # median of the real prefix of the descending sort; for even
+            # m_real average the two middle elements so a padded build
+            # matches the unpadded jnp.median path exactly
+            srt = jnp.sort(area)[::-1]
+            a0 = 0.5 * (srt[(m_real - 1) // 2] + srt[m_real // 2])
         Y = jac * (a0 / jnp.maximum(area, 1e-12))[None, :]  # (n_meas, M)
         # desired images: compact quadratic bump at each target centroid
         gx, gy = jnp.meshgrid(xs, ys)

@@ -532,6 +532,18 @@ def lowrank_solve_batch(solvers, lung_alphas):
     factored operators (same shapes by construction from build_batch)
     and runs one vmapped solve. Returns a list of (T, n_exc, n_meas).
     """
+    if not solvers:
+        return []
+    # same-bucket precondition, enforced (shape-level — an elementwise
+    # compare would device-sync on the hot path): the group shares one
+    # measurement operator, stacking silently used solvers[0]'s otherwise
+    m0 = solvers[0].meas_mat
+    for s in solvers[1:]:
+        if s.meas_mat.shape != m0.shape:
+            raise ValueError(
+                "lowrank_solve_batch requires same-bucket solvers "
+                f"(meas_mat {s.meas_mat.shape} != {m0.shape})"
+            )
     s2 = jnp.stack([s.s2 for s in solvers])
     u0 = jnp.stack([s.u0 for s in solvers])
     yq = jnp.stack([s.yq for s in solvers])

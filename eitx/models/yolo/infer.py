@@ -94,6 +94,15 @@ class YoloRunner:
         )
         self.model = YoloV11(self.spec)
         self.imgsz = imgsz
+        if isinstance(conf, (tuple, list)) and len(conf) < nc:
+            # a short tuple would be silently clamped by JAX's
+            # out-of-bounds gather (class i >= len picks the last entry)
+            from ...core.errors import ModelError
+
+            raise ModelError(
+                f"per-class conf has {len(conf)} entries, model has "
+                f"{nc} classes"
+            )
         self.conf = conf
         self.iou = iou
         self.max_det = max_det
