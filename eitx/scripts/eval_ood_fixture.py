@@ -31,14 +31,28 @@ _HU = {"air": -1000.0, "lung": -780.0, "fat": -90.0, "muscle": 35.0,
        "bone": 350.0}
 _CLASS_HU = {0: _HU["bone"], 1: _HU["muscle"], 2: _HU["lung"],
              3: _HU["fat"]}
-# paint order: fat (body) first, then muscles, lung, bone on top — the
-# reference polygons nest this way (outermost adipose ring to bone)
-_Z_ORDER = (3, 1, 2, 0)
+# paint order: body contour (class 4, where present) first, then fat,
+# muscles, lung, bone on top — the reference polygons nest this way
+# (outermost adipose ring to bone); trial6's class-4 skin contour sits
+# entirely under its fat ring
+_Z_ORDER = (4, 3, 1, 2, 0)
 _CLASS_NAMES = ("bone", "muscles", "lung", "fat")
+# the reference embeds SIX patient-derived slice polygon sets
+# (mesh_service_trials.py:10-322): geometry 1 is the long-standing
+# fixture (femm_generator.py:748-829); 2-6 are harvested by
+# eitx.scripts.harvest_trials (2-5 are four processing variants of ONE
+# anatomy; 6 is a distinct anatomy — 3 distinct anatomies total)
+GEOMETRIES = (1, 2, 3, 4, 5, 6)
 
 
-def load_fixture_polygons(path: str = None):
-    path = path or os.path.join(_DATA, "real_slice_polygons.txt")
+def geometry_path(geometry: int) -> str:
+    if geometry == 1:
+        return os.path.join(_DATA, "real_slice_polygons.txt")
+    return os.path.join(_DATA, "geometries", f"trial{geometry}.txt")
+
+
+def load_fixture_polygons(path: str = None, geometry: int = 1):
+    path = path or geometry_path(geometry)
     polys = []
     with open(path) as fh:
         for ln in fh:
@@ -83,7 +97,7 @@ def _apply_transform(xy: np.ndarray, t: dict, size: int) -> np.ndarray:
 
 def render_fixture_hu(size: int = 512, noise_sigma: float = 12.0,
                       seed: int = 5, pv_sigma: float = 0.0,
-                      transform: dict = None):
+                      transform: dict = None, geometry: int = 1):
     """(hu (s, s) f32, body mask (s, s) u8) rendering of the fixture.
 
     ``pv_sigma`` > 0 applies a scanner-PSF partial-volume blur to the
@@ -93,7 +107,7 @@ def render_fixture_hu(size: int = 512, noise_sigma: float = 12.0,
     fixture_transform) re-poses the polygons before rasterization."""
     from ..geometry import rasterize_polygons
 
-    polys = load_fixture_polygons()
+    polys = load_fixture_polygons(geometry=geometry)
     scale = size / 512.0
     if transform is not None:
         polys = [(cid, _apply_transform(xy, transform, 512.0))
@@ -103,7 +117,10 @@ def render_fixture_hu(size: int = 512, noise_sigma: float = 12.0,
     ]
     lab = rasterize_polygons(ordered, (size, size), background=-1)
     hu = np.full((size, size), _HU["air"], np.float32)
-    for cid, val in _CLASS_HU.items():
+    # class 4 (body/skin contour, trial6): painted as fat — the
+    # outermost soft-tissue underlay, same role trial1's adipose ring
+    # plays (in practice it sits fully under the fat ring)
+    for cid, val in {**_CLASS_HU, 4: _HU["fat"]}.items():
         hu[lab == cid] = val
     if pv_sigma:
         from ..train.phantoms import _partial_volume
@@ -118,7 +135,8 @@ def render_fixture_hu(size: int = 512, noise_sigma: float = 12.0,
 def evaluate_ood(size: int, weights: str, variant: str = "n",
                  seed: int = 5, pv_sigma: float = 0.0,
                  transform: dict = None, hu_scale: float = 1.0,
-                 conf=0.3, seg=None, tta_fill: bool = False) -> dict:
+                 conf=0.3, seg=None, tta_fill: bool = False,
+                 geometry: int = 1) -> dict:
     """Score one checkpoint on one fixture rendering. ``seg`` (a prebuilt
     TissueSegmenter) skips the per-call model construction — sweeps over
     seeds/poses reuse one compiled program instead of re-tracing; its
@@ -129,7 +147,8 @@ def evaluate_ood(size: int, weights: str, variant: str = "n",
     from ..models.yolo.infer import TissueSegmenter
     from .pseudo_label import pseudo_label_slice
 
-    hu, body = render_fixture_hu(size, seed=seed, transform=transform)
+    hu, body = render_fixture_hu(size, seed=seed, transform=transform,
+                                 geometry=geometry)
     # serving frame: the model consumes window_normalize output, which
     # includes the reference's rot180 (classic_norm) — so the GT labels,
     # computed in the raw hu frame, rotate to match
@@ -138,7 +157,7 @@ def evaluate_ood(size: int, weights: str, variant: str = "n",
         # harder image, SAME ground truth: the GT above is derived from
         # the crisp render (identical noise field — see render_fixture_hu)
         hu, _ = render_fixture_hu(size, seed=seed, pv_sigma=pv_sigma,
-                                  transform=transform)
+                                  transform=transform, geometry=geometry)
     img_u8 = np.asarray(window_normalize(hu, 40.0, 400.0))
     # max_det matches the serving pipeline's static NMS budget
     # (ModelConfig.max_detections = 64): real anatomy fragments bone into
@@ -198,6 +217,15 @@ def main(argv=None):
     p.add_argument("--tta-views", type=int, default=0,
                    help="explicit TTA view count (2 = +hflip, 3 = "
                         "+vflip); overrides --tta-fill")
+    p.add_argument("--geometries", default="1",
+                   help="comma list of fixture geometries to score, or "
+                        "'all' (= 1..6). Geometry 1 is the original "
+                        "fixture; 2-6 are the reference's other embedded "
+                        "patient-derived trial sets (harvest_trials.py; "
+                        "2-5 are variants of one anatomy, 6 distinct). "
+                        "With one geometry the report shape is unchanged; "
+                        "with several, each size gains a by_geometry "
+                        "section plus cross-geometry mean/min.")
     p.add_argument("--labeler-perturb", action="store_true",
                    help="pseudo-labeler-independence probe: score each "
                         "checkpoint against GT derived with the HU "
@@ -235,41 +263,65 @@ def main(argv=None):
                 },
             }
             continue
-        runs = [evaluate_ood(size, w, seed=seed_base + k,
-                             pv_sigma=args.pv_sigma, conf=conf,
-                             tta_fill=tta)
-                for k in range(args.seeds)]
-        out[str(size)] = {
-            "macro_iou": round(
-                float(np.mean([r["macro_iou"] for r in runs])), 4
-            ),
-            "per_class_iou": {
-                n: round(
-                    float(np.mean([r["per_class_iou"][n] for r in runs])), 4
-                )
-                for n in _CLASS_NAMES
-            },
-            "n_seeds": args.seeds,
-            "checkpoint": os.path.basename(w),
-        }
-        if args.transforms:
-            posed = [
-                evaluate_ood(size, w, seed=seed_base + k,
-                             pv_sigma=args.pv_sigma, conf=conf,
-                             tta_fill=tta,
-                             transform=fixture_transform(pose_base + k))
-                for k in range(args.transforms)
-            ]
-            macros = [r["macro_iou"] for r in posed]
-            out[str(size)]["posed"] = {
-                "macro_iou_mean": round(float(np.mean(macros)), 4),
-                "macro_iou_min": round(float(np.min(macros)), 4),
-                "per_class_iou_mean": {
-                    n: round(float(np.mean(
-                        [r["per_class_iou"][n] for r in posed])), 4)
+        from ..models.yolo.infer import TissueSegmenter
+
+        seg = TissueSegmenter(imgsz=size, weights=w, variant="n",
+                              max_det=64, conf=conf, tta_fill=tta)
+
+        def score_geometry(size, w, geometry, seg=seg):
+            runs = [evaluate_ood(size, w, seed=seed_base + k,
+                                 pv_sigma=args.pv_sigma, seg=seg,
+                                 geometry=geometry)
+                    for k in range(args.seeds)]
+            sec = {
+                "macro_iou": round(
+                    float(np.mean([r["macro_iou"] for r in runs])), 4
+                ),
+                "per_class_iou": {
+                    n: round(
+                        float(np.mean(
+                            [r["per_class_iou"][n] for r in runs])), 4
+                    )
                     for n in _CLASS_NAMES
                 },
-                "n_transforms": args.transforms,
+                "n_seeds": args.seeds,
+            }
+            if args.transforms:
+                posed = [
+                    evaluate_ood(size, w, seed=seed_base + k,
+                                 pv_sigma=args.pv_sigma, seg=seg,
+                                 geometry=geometry,
+                                 transform=fixture_transform(pose_base + k))
+                    for k in range(args.transforms)
+                ]
+                macros = [r["macro_iou"] for r in posed]
+                sec["posed"] = {
+                    "macro_iou_mean": round(float(np.mean(macros)), 4),
+                    "macro_iou_min": round(float(np.min(macros)), 4),
+                    "per_class_iou_mean": {
+                        n: round(float(np.mean(
+                            [r["per_class_iou"][n] for r in posed])), 4)
+                        for n in _CLASS_NAMES
+                    },
+                    "n_transforms": args.transforms,
+                }
+            return sec
+
+        geoms = (GEOMETRIES if args.geometries == "all"
+                 else tuple(int(g) for g in args.geometries.split(",")))
+        if len(geoms) == 1:
+            out[str(size)] = score_geometry(size, w, geoms[0])
+            out[str(size)]["checkpoint"] = os.path.basename(w)
+            if geoms[0] != 1:
+                out[str(size)]["geometry"] = geoms[0]
+        else:
+            by = {str(g): score_geometry(size, w, g) for g in geoms}
+            macros = [by[str(g)]["macro_iou"] for g in geoms]
+            out[str(size)] = {
+                "by_geometry": by,
+                "macro_iou_mean": round(float(np.mean(macros)), 4),
+                "macro_iou_min": round(float(np.min(macros)), 4),
+                "checkpoint": os.path.basename(w),
             }
     print(json.dumps(out))
     if args.report:
