@@ -26,7 +26,8 @@ import numpy as np
 def pregenerate(n: int, imgsz: int, max_instances: int, seed: int,
                 rich: bool = False, mask_res: int = None,
                 store_u8: bool = False, anatomy_frac: float = 0.0,
-                pv_sigma_max: float = 0.0, wide_pose: bool = False):
+                pv_sigma_max: float = 0.0, wide_pose: bool = False,
+                geometry_frac: float = 0.0):
     """n phantom samples with targets; pseudo-labels batch on device."""
     from ..train.phantoms import phantom_batch
 
@@ -34,7 +35,8 @@ def pregenerate(n: int, imgsz: int, max_instances: int, seed: int,
     return phantom_batch(n, imgsz, max_instances, rng, return_labels=True,
                          rich=rich, mask_res=mask_res, store_u8=store_u8,
                          anatomy_frac=anatomy_frac,
-                         pv_sigma_max=pv_sigma_max, wide_pose=wide_pose)
+                         pv_sigma_max=pv_sigma_max, wide_pose=wide_pose,
+                         geometry_frac=geometry_frac)
 
 
 def evaluate_checkpoint(
@@ -152,6 +154,14 @@ def main(argv=None):
                         "are PSF mixtures, the phantoms' piecewise-"
                         "constant tissues are not; 0 disables (default, "
                         "bit-identical streams)")
+    p.add_argument("--geometry-frac", type=float, default=0.0,
+                   help="fraction of training samples drawn from posed "
+                        "renderings of the REAL patient-derived training "
+                        "geometries (reference trials 2-5, harvested by "
+                        "harvest_trials.py; trials 1 and 6 stay "
+                        "eval-only). The round-5 lever for the "
+                        "anatomy-layout-shaped OOD failures; wants "
+                        "--max-instances ~48 (58-62 polygons/slice)")
     p.add_argument("--mosaic-prob", type=float, default=0.0,
                    help="fraction of training samples replaced by a "
                         "quadrant mosaic of four store samples at half "
@@ -222,7 +232,8 @@ def main(argv=None):
                            mask_res=mask_res, store_u8=True,
                            anatomy_frac=args.anatomy_frac,
                            pv_sigma_max=args.pv_sigma_max,
-                           wide_pose=args.wide_pose)
+                           wide_pose=args.wide_pose,
+                           geometry_frac=args.geometry_frac)
         if args.data_cache:
             np.savez(args.data_cache,
                      **{k: v for k, v in data.items() if k != "labels"})

@@ -298,6 +298,100 @@ def thorax_phantom_hu(
     return hu, (body * 255).astype(np.uint8)
 
 
+# --- real-geometry training stream --------------------------------------
+
+# Training draws ONLY from geometries 2-5 (four processing variants of
+# one anatomy, mesh_service_trials.py test_list2..5 via
+# eitx.scripts.harvest_trials); geometries 1 and 6 stay eval-only so the
+# OOD-fixture protocol keeps two real-derived anatomies no training
+# stream has ever seen.
+_TRAIN_GEOMETRIES = (2, 3, 4, 5)
+_geom_pool_cache: Dict[int, list] = {}
+
+
+def _train_geometry_polygons(gid: int) -> list:
+    import os
+
+    if gid in (1, 6):
+        raise ValueError(
+            f"geometry {gid} is reserved for the OOD eval — training on "
+            "it would collapse the quality protocol's held-out anatomies"
+        )
+    if gid not in _geom_pool_cache:
+        path = os.path.join(
+            os.path.dirname(__file__), "..", "..", "tests", "data",
+            "geometries", f"trial{gid}.txt",
+        )
+        polys = []
+        with open(path) as fh:
+            for ln in fh:
+                ln = ln.strip()
+                if not ln or ln.startswith("#"):
+                    continue
+                parts = ln.split()
+                polys.append(
+                    (int(parts[0]),
+                     np.asarray(parts[1:], np.float64).reshape(-1, 2))
+                )
+        _geom_pool_cache[gid] = polys
+    return _geom_pool_cache[gid]
+
+
+def geometry_slice_hu(
+    rng: np.random.Generator, s: int = 256,
+    geometries: Tuple[int, ...] = _TRAIN_GEOMETRIES,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Random posed HU rendering of a REAL patient-derived geometry.
+
+    The remaining OOD failure modes are anatomy-layout-shaped (whole
+    muscle groups to background, pose-dependent lung proposal misses)
+    and five phantom-side training levers closed as nulls — the missing
+    ingredient is real anatomy layout, which the reference embeds as six
+    trial polygon sets. This stream renders the four TRAINING geometries
+    under the serving-pose family (same bounds as the posed OOD eval:
+    tilt <=0.45 rad, mirror, zoom, shifts) with per-sample tissue-HU
+    jitter (drawn inside the pseudo-labeler's HU_RANGES so labels stay
+    exact) and rich-level noise. Returns (hu (s, s) f32, body u8) — the
+    same contract as thorax_phantom_hu, so samples flow through the
+    identical pseudo-label -> instance-target path."""
+    from ..geometry import rasterize_polygons
+
+    gid = geometries[int(rng.integers(len(geometries)))]
+    polys = _train_geometry_polygons(gid)
+    angle = rng.uniform(-0.45, 0.45)
+    flip = rng.random() < 0.5
+    # native fill of trials 2-5 is ~0.57 linear; zoom spans the serving
+    # family both ways (the fixture-eval family zooms 0.65-0.95 around a
+    # ~0.82-fill anatomy)
+    scale = rng.uniform(0.70, 1.15) * (s / 512.0)
+    shift = rng.uniform(-0.06, 0.06, 2) * s
+    ca, sa = np.cos(angle), np.sin(angle)
+    rot = np.array([[ca, sa], [-sa, ca]])
+    sgn = np.array([-1.0, 1.0]) if flip else np.array([1.0, 1.0])
+    c0, c1 = 256.0, s / 2.0
+    ordered = [
+        (cid, (((xy - c0) * sgn) @ rot) * scale + c1 + shift)
+        for z in (4, 3, 1, 2, 0) for cid, xy in polys if cid == z
+    ]
+    lab = rasterize_polygons(ordered, (s, s), background=-1)
+    # per-sample HU jitter, each tissue inside its HU_RANGES window
+    # (pseudo_label.py): the labeler-independence probe perturbs these
+    # cut points +-10%, so training must not depend on exact values
+    hu_vals = {
+        0: rng.uniform(150.0, 500.0),   # bone  [70, 800]
+        1: rng.uniform(20.0, 45.0),     # muscle [1, 50]
+        2: rng.uniform(-900.0, -600.0),  # lung  [-1100, -200]
+        3: rng.uniform(-120.0, -40.0),  # fat   [-150, -1]
+    }
+    hu = np.full((s, s), _HU["air"], np.float32)
+    for cid, val in {**hu_vals, 4: hu_vals[3]}.items():
+        hu[lab == cid] = val
+    hu += rng.normal(0.0, rng.uniform(8.0, 20.0), hu.shape).astype(
+        np.float32
+    )
+    return hu, ((lab >= 0) * 255).astype(np.uint8)
+
+
 def _instances_from_labels(
     labels: np.ndarray, max_instances: int, mask_res: int = None
 ):
@@ -358,6 +452,7 @@ def phantom_batch(
     anatomy_frac: float = 0.0,
     pv_sigma_max: float = 0.0,
     wide_pose: bool = False,
+    geometry_frac: float = 0.0,
 ) -> Dict[str, np.ndarray]:
     """Training batch from HU phantoms pseudo-labeled on device.
 
@@ -393,11 +488,18 @@ def phantom_batch(
     valid = np.zeros((batch, I), bool)
     label_imgs = np.zeros((batch, imgsz, imgsz), np.int32)
     for b in range(batch):
-        hu, body = thorax_phantom_hu(
-            rng, imgsz, rich=rich,
-            anatomy=bool(anatomy_frac and rng.random() < anatomy_frac),
-            wide_pose=wide_pose,
-        )
+        # ``geometry_frac`` draws that fraction from posed renderings of
+        # the REAL patient-derived training geometries (trials 2-5, see
+        # geometry_slice_hu); streams with geometry_frac=0 are
+        # bit-identical to before the flag existed (no extra rng draws)
+        if geometry_frac and rng.random() < geometry_frac:
+            hu, body = geometry_slice_hu(rng, imgsz)
+        else:
+            hu, body = thorax_phantom_hu(
+                rng, imgsz, rich=rich,
+                anatomy=bool(anatomy_frac and rng.random() < anatomy_frac),
+                wide_pose=wide_pose,
+            )
         labels = pseudo_label_slice(hu, body)
         # serving frame: window_normalize already applies the reference's
         # rot180 (classic_norm, utils.py:309), so the labels — computed in

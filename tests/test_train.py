@@ -529,3 +529,44 @@ def test_mask_class_weights():
     w = [1.0] * 4
     w[c] = 4.0
     assert base < masked(tuple(w)) < 4.0 * base
+
+
+def test_geometry_training_stream():
+    """Real-geometry stream (geometry_frac): samples render the
+    reference's harvested trial geometries (2-5 ONLY — 1 and 6 are
+    eval-reserved and refused), carry the real-anatomy instance
+    statistics (~26-31 components at 256), satisfy the frame physics
+    (lung dark / bone bright in the stored frame), and geometry_frac=0
+    leaves the classic streams bit-identical."""
+    import pytest
+
+    from eitx.train.phantoms import (
+        _train_geometry_polygons,
+        geometry_slice_hu,
+        phantom_batch,
+    )
+
+    b = phantom_batch(3, 256, 48, np.random.default_rng(7),
+                      return_labels=True, geometry_frac=1.0)
+    assert b["valid"].sum(1).min() >= 20, \
+        "real geometries must exceed the classic instance budget"
+    img, lab = b["images"][..., 0], b["labels"]
+    img = img * (255.0 if b["images"].dtype != np.uint8 else 1.0)
+    for cid in range(4):
+        assert (lab == cid).sum() > 100, f"class {cid} missing"
+    assert img[lab == 2].mean() < 30.0, "lung must be dark in-frame"
+    assert img[lab == 0].mean() > 150.0, "bone must be bright in-frame"
+    # pose family: two draws from one rng differ (posed, not static)
+    rng = np.random.default_rng(11)
+    h1, _ = geometry_slice_hu(rng, 128)
+    h2, _ = geometry_slice_hu(rng, 128)
+    assert not np.array_equal(h1, h2)
+    # eval-reserved geometries are refused
+    for gid in (1, 6):
+        with pytest.raises(ValueError):
+            _train_geometry_polygons(gid)
+    # flag off => classic stream bit-identical (reports reproducible)
+    a = phantom_batch(2, 96, 12, np.random.default_rng(5), rich=True)
+    c = phantom_batch(2, 96, 12, np.random.default_rng(5), rich=True,
+                      geometry_frac=0.0)
+    assert all(np.array_equal(a[k], c[k]) for k in a)
