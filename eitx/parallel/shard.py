@@ -120,3 +120,54 @@ def sharded_eit_monitoring(
         jnp.asarray(el_pos), jnp.asarray(ex_mat), jnp.asarray(meas_mat),
     )
     return np.asarray(v)[:T]
+
+
+def sharded_group_solve(solvers, lung_alphas, mesh: Mesh, axis: str = "data"):
+    """Subject-axis sharded variant of fem.spectral.lowrank_solve_batch.
+
+    The dataset factory's solve stage runs MANY same-bucket subjects'
+    monitorings in one program; at scale the subject axis is the
+    data-parallel axis (SURVEY §2.3: one pjit program, subjects across
+    chips). shard_map over ``axis`` with a per-subject scan inside each
+    shard: the local computation is LITERALLY per-subject
+    LowRankSpectralSolver.solve (subjects are independent — zero
+    collectives until the output gather), so the gathered voltages are
+    BIT-IDENTICAL to running each subject's solve on a single device.
+    (An auto-partitioned vmap is NOT bit-stable here: XLA fuses a
+    batched solve differently at different batch sizes — measured 1-2
+    ulp f32 divergence on the CPU backend — so equality is pinned to
+    the per-subject program, which is also what the single-device
+    serving path runs.) dryrun_multichip asserts the final .dat bytes.
+    """
+    from ..fem.spectral import _lowrank_solve
+
+    if not solvers:
+        return []
+    n = mesh.shape[axis]
+    B = len(solvers)
+    pad = (-B) % n
+    sol = list(solvers) + [solvers[-1]] * pad
+
+    def stack(attr):
+        return jnp.stack([getattr(s, attr) for s in sol])
+
+    s2, u0, yq, zq = stack("s2"), stack("u0"), stack("yq"), stack("zq")
+    a0 = jnp.asarray([s.alpha0 for s in sol], s2.dtype)
+    spec = P(axis)
+
+    def local(s2b, u0b, yqb, zqb, a0b, al, mm):
+        # (per_shard, ...) local block: solve each subject exactly as the
+        # single-device path does (lax.map = sequential per-subject calls)
+        return jax.lax.map(
+            lambda t: _lowrank_solve(t[0], t[1], t[2], t[3], al, t[4], mm),
+            (s2b, u0b, yqb, zqb, a0b),
+        )
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(spec, spec, spec, spec, spec, P(), P()),
+        out_specs=spec,
+    )
+    out = fn(s2, u0, yq, zq, a0, jnp.asarray(lung_alphas, s2.dtype),
+             solvers[0].meas_mat)
+    return [np.asarray(out[b]) for b in range(B)]

@@ -52,6 +52,44 @@ logger = logging.getLogger("eitx.pipeline")
 _CONTOUR_CLASS_ORDER = (3, 0, 1, 2)
 
 
+def labels_to_polygons(labels: np.ndarray) -> List[str]:
+    """Label image -> class polygon lines (create_list_crd_from_color_output
+    parity, utils.py:1191-1279). Module-level so the multi-chip dryrun can
+    drive the exact serving tail without building the model stack."""
+    lines = []
+    for cid in _CONTOUR_CLASS_ORDER:
+        mask = (labels == cid).astype(np.uint8)
+        if not mask.any():
+            continue
+        for cnt in find_external_contours(mask):
+            if cnt.shape[0] < 3:
+                continue
+            eps = 0.001 * arc_length(cnt)
+            approx = approx_poly_dp(cnt.astype(float), eps)
+            if approx.shape[0] > 2 and not np.array_equal(
+                approx[0], approx[-1]
+            ):
+                approx = np.vstack([approx, approx[:1]])
+            lines.append(format_polygon_line(cid, approx))
+    return lines
+
+
+def body_polygon(body_mask: Optional[np.ndarray]) -> Optional[str]:
+    """Body mask -> class-4 outline polygon line (get_only_body_mask_contours
+    parity, utils.py:1157-1188)."""
+    if body_mask is None or not np.any(body_mask):
+        return None
+    contours = find_external_contours(np.asarray(body_mask) > 0)
+    contours = [c for c in contours if c.shape[0] >= 5]
+    if not contours:
+        raise ContourError("body mask produced no usable contour")
+    # max-AREA contour, matching the reference's max(contourArea)
+    # selection (utils.py:572-582, :1157-1188) — a jagged satellite
+    # artifact can out-point the smooth body outline on vertex count
+    largest = max(contours, key=lambda c: abs(polygon_area(c)))
+    return format_polygon_line(4, largest)
+
+
 class Pipeline:
     """Loads the models once; exposes one method per mode."""
 
@@ -92,35 +130,10 @@ class Pipeline:
 
     # --- shared helpers --------------------------------------------------
     def _labels_to_polygons(self, labels: np.ndarray) -> List[str]:
-        lines = []
-        for cid in _CONTOUR_CLASS_ORDER:
-            mask = (labels == cid).astype(np.uint8)
-            if not mask.any():
-                continue
-            for cnt in find_external_contours(mask):
-                if cnt.shape[0] < 3:
-                    continue
-                eps = 0.001 * arc_length(cnt)
-                approx = approx_poly_dp(cnt.astype(float), eps)
-                if approx.shape[0] > 2 and not np.array_equal(
-                    approx[0], approx[-1]
-                ):
-                    approx = np.vstack([approx, approx[:1]])
-                lines.append(format_polygon_line(cid, approx))
-        return lines
+        return labels_to_polygons(labels)
 
     def _body_polygon(self, body_mask: Optional[np.ndarray]) -> Optional[str]:
-        if body_mask is None or not np.any(body_mask):
-            return None
-        contours = find_external_contours(np.asarray(body_mask) > 0)
-        contours = [c for c in contours if c.shape[0] >= 5]
-        if not contours:
-            raise ContourError("body mask produced no usable contour")
-        # max-AREA contour, matching the reference's max(contourArea)
-        # selection (utils.py:572-582, :1157-1188) — a jagged satellite
-        # artifact can out-point the smooth body outline on vertex count
-        largest = max(contours, key=lambda c: abs(polygon_area(c)))
-        return format_polygon_line(4, largest)
+        return body_polygon(body_mask)
 
     def _run_tail(
         self,

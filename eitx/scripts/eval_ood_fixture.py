@@ -136,7 +136,7 @@ def evaluate_ood(size: int, weights: str, variant: str = "n",
                  seed: int = 5, pv_sigma: float = 0.0,
                  transform: dict = None, hu_scale: float = 1.0,
                  conf=0.3, seg=None, tta_fill: bool = False,
-                 geometry: int = 1) -> dict:
+                 geometry: int = 1, gt_perturb: str = None) -> dict:
     """Score one checkpoint on one fixture rendering. ``seg`` (a prebuilt
     TissueSegmenter) skips the per-call model construction — sweeps over
     seeds/poses reuse one compiled program instead of re-tracing; its
@@ -152,7 +152,30 @@ def evaluate_ood(size: int, weights: str, variant: str = "n",
     # serving frame: the model consumes window_normalize output, which
     # includes the reference's rot180 (classic_norm) — so the GT labels,
     # computed in the raw hu frame, rotate to match
-    gt = pseudo_label_slice(hu, body, hu_scale=hu_scale)[::-1, ::-1]
+    if gt_perturb == "psf":
+        # systematic labeler-boundary error of the partial-volume kind:
+        # GT derived from a PSF-blurred render while the MODEL INPUT
+        # stays crisp — boundary pixels move the way a pseudo-labeler
+        # running on reconstruction-blurred CT would move them
+        from ..train.phantoms import _partial_volume
+
+        gt = pseudo_label_slice(
+            _partial_volume(hu, 1.0), body, hu_scale=hu_scale
+        )[::-1, ::-1]
+    else:
+        gt = pseudo_label_slice(hu, body, hu_scale=hu_scale)[::-1, ::-1]
+    if gt_perturb in ("dilate", "erode"):
+        # +-1 px class-boundary shift: grey dilation (max filter on
+        # id+1) moves every boundary one pixel toward the LOWER class id
+        # (fat>lung>muscles>bone>background win order); grey erosion
+        # (min filter) moves them one pixel the other way — the pair
+        # brackets systematic over/under-segmentation by the
+        # pseudo-labeler's morphology chain
+        from scipy import ndimage
+
+        op = (ndimage.grey_dilation if gt_perturb == "dilate"
+              else ndimage.grey_erosion)
+        gt = op(gt + 1, size=(3, 3)).astype(gt.dtype) - 1
     if pv_sigma:
         # harder image, SAME ground truth: the GT above is derived from
         # the crisp render (identical noise field — see render_fixture_hu)
@@ -251,15 +274,28 @@ def main(argv=None):
         if w is None:
             continue
         if args.labeler_perturb:
+            # widened probe (round-5): beyond +-10% HU-threshold scaling,
+            # perturb the pseudo-labeler's MORPHOLOGY — GT from a
+            # PSF-blurred render (partial-volume boundary shift) and
+            # +-1 px class-boundary dilation/erosion. A serving-vs-
+            # candidate ranking that flips under any of these is a
+            # labeler artifact, not a model difference.
+            def probe(hu_scale=1.0, gt_perturb=None):
+                return round(float(np.mean([
+                    evaluate_ood(size, w, seed=seed_base + k,
+                                 hu_scale=hu_scale,
+                                 gt_perturb=gt_perturb)["macro_iou"]
+                    for k in range(args.seeds)
+                ])), 4)
+
             out[str(size)] = {
                 "checkpoint": os.path.basename(w),
                 "macro_iou_by_hu_scale": {
-                    str(s): round(float(np.mean([
-                        evaluate_ood(size, w, seed=seed_base + k,
-                                     hu_scale=s)["macro_iou"]
-                        for k in range(args.seeds)
-                    ])), 4)
-                    for s in (0.9, 1.0, 1.1)
+                    str(s): probe(hu_scale=s) for s in (0.9, 1.0, 1.1)
+                },
+                "macro_iou_by_gt_perturb": {
+                    p: probe(gt_perturb=p)
+                    for p in ("psf", "dilate", "erode")
                 },
             }
             continue
