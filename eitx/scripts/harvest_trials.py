@@ -46,7 +46,11 @@ _OUT = os.path.join(
 )
 # femm_tools class ids -> canonical segmentation ids (2<->3 swap)
 _FEMM_TO_SEG = {0: 0, 1: 1, 2: 3, 3: 2, 4: 4}
-_FEMM_MAPPED = {2, 4, 5}  # test_list indices that use the femm mapping
+# test_list indices that use the femm mapping (2..5 — all four variants
+# of the shared anatomy; 3 is the integer-quantized one and is femm-
+# mapped like its siblings: its largest polygon is the 85k-px class-2
+# body, impossible under the seg mapping where 2=lung)
+_FEMM_MAPPED = {2, 3, 4, 5}
 
 
 def _extract_lists(path: str = _REF):

@@ -570,3 +570,33 @@ def test_geometry_training_stream():
     c = phantom_batch(2, 96, 12, np.random.default_rng(5), rich=True,
                       geometry_frac=0.0)
     assert all(np.array_equal(a[k], c[k]) for k in a)
+
+
+def test_harvested_geometry_renders_plausible():
+    """Every harvested trial geometry renders with plausible thoracic
+    composition — all four tissues present and the lung at 30-60% of the
+    body. Regression for the round-5 harvest bug where trial3 missed the
+    femm class remap and its 85k-px body painted as LUNG (muscles/fat
+    invisible), poisoning both the eval GT and the training stream."""
+    from eitx.geometry import rasterize_polygons
+    from eitx.scripts.eval_ood_fixture import (
+        GEOMETRIES,
+        load_fixture_polygons,
+    )
+
+    for g in GEOMETRIES:
+        polys = load_fixture_polygons(geometry=g)
+        ordered = [(cid, xy) for z in (4, 3, 1, 2, 0)
+                   for cid, xy in polys if cid == z]
+        lab = rasterize_polygons(ordered, (512, 512), background=-1)
+        body = int((lab >= 0).sum())
+        px = {c: int((lab == c).sum()) for c in range(4)}
+        assert body > 50000, f"trial{g}: body too small ({body})"
+        for c in range(4):
+            assert px[c] > 0.01 * body, (
+                f"trial{g}: class {c} is {px[c]}/{body} px — "
+                "class-mapping or rasterization regression"
+            )
+        assert 0.25 < px[2] / body < 0.60, (
+            f"trial{g}: lung fraction {px[2] / body:.2f} implausible"
+        )
