@@ -32,12 +32,13 @@ def test_serving_256_on_patient_fixture():
         pytest.skip("no trained 256 checkpoint in weights/")
     res = evaluate_ood(256, ckpt, seed=5)
     per = res["per_class_iou"]
-    assert res["macro_iou"] >= 0.72, res
+    # round-5 geometry-stream checkpoint: measured 0.8006 - 0.07
+    assert res["macro_iou"] >= 0.73, res
     # the two historical failure modes, ratcheted to measured - 0.07:
     assert per["muscles"] >= 0.64, (
         f"muscle head not firing on real anatomy layout again: {per}"
     )
-    assert per["lung"] >= 0.80, (
+    assert per["lung"] >= 0.87, (
         f"lung detection/box regression on frame-filling bodies: {per}"
     )
 
@@ -51,14 +52,15 @@ def test_serving_512_on_patient_fixture():
         pytest.skip("no trained 512 checkpoint in weights/")
     res = evaluate_ood(512, ckpt, seed=5)
     per = res["per_class_iou"]
-    assert res["macro_iou"] >= 0.75, res
+    # round-5 geometry-stream checkpoint: measured 0.8295 - 0.07
+    assert res["macro_iou"] >= 0.76, res
     # the 512 slot's historical failure modes (pre-anatomy-mix serving
     # checkpoint: muscles 0.0, fat 0.43 at macro 0.446), ratcheted to
     # measured - 0.07:
-    assert per["muscles"] >= 0.64, (
+    assert per["muscles"] >= 0.75, (
         f"muscle head not firing on real anatomy layout again: {per}"
     )
-    assert per["fat"] >= 0.81, (
+    assert per["fat"] >= 0.83, (
         f"fat regression on the patient-derived layout: {per}"
     )
 
@@ -171,3 +173,26 @@ def test_serving_config_promotion_512():
     assert res["macro_iou"] >= 0.83, res
     assert per["muscles"] >= 0.77, per
     assert per["lung"] >= 0.87, per
+
+
+def test_single_pass_posed_lung_ratchet():
+    """The pose-dependent lung PROPOSAL miss is fixed in the single-pass
+    network (round 5, real-geometry training stream) — not merely rescued
+    by the TTA serving patch. Round 4 measured posed lung IoU 0.44-0.48
+    at the worst poses in reference-parity mode (one lung proposed only
+    by the rot180 TTA view); the promoted checkpoints measure 0.85-0.92
+    at their worst poses. Ratcheted to measured - 0.07 on each slot's
+    worst pose (256: pose 5, 512: pose 4)."""
+    from eitx.core.weights import find_checkpoint
+    from eitx.scripts.eval_ood_fixture import evaluate_ood, fixture_transform
+
+    for size, pose, floor in ((256, 5, 0.78), (512, 4, 0.83)):
+        ckpt = find_checkpoint("tissue", size)
+        if ckpt is None:
+            pytest.skip(f"no trained {size} checkpoint in weights/")
+        res = evaluate_ood(size, ckpt, seed=5,
+                           transform=fixture_transform(pose))
+        assert res["per_class_iou"]["lung"] >= floor, (
+            f"{size} single-pass posed lung regressed (the round-4 "
+            f"proposal-miss failure mode): {res}"
+        )
