@@ -340,6 +340,7 @@ def _train_geometry_polygons(gid: int) -> list:
 def geometry_slice_hu(
     rng: np.random.Generator, s: int = 256,
     geometries: Tuple[int, ...] = _TRAIN_GEOMETRIES,
+    scale_range: Tuple[float, float] = (0.70, 1.15),
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Random posed HU rendering of a REAL patient-derived geometry.
 
@@ -360,10 +361,12 @@ def geometry_slice_hu(
     polys = _train_geometry_polygons(gid)
     angle = rng.uniform(-0.45, 0.45)
     flip = rng.random() < 0.5
-    # native fill of trials 2-5 is ~0.57 linear; zoom spans the serving
-    # family both ways (the fixture-eval family zooms 0.65-0.95 around a
-    # ~0.82-fill anatomy)
-    scale = rng.uniform(0.70, 1.15) * (s / 512.0)
+    # native fill of trials 2-5 is ~0.57 linear; the default zoom spans
+    # the serving family both ways (the fixture-eval family zooms
+    # 0.65-0.95 around a ~0.82-fill anatomy). Reaching trial 1's native
+    # 0.82 frame fill from a 0.57-fill source needs scale ~1.45 — the
+    # scale_range knob exists to probe that frame-filling end.
+    scale = rng.uniform(*scale_range) * (s / 512.0)
     shift = rng.uniform(-0.06, 0.06, 2) * s
     ca, sa = np.cos(angle), np.sin(angle)
     rot = np.array([[ca, sa], [-sa, ca]])
@@ -453,6 +456,7 @@ def phantom_batch(
     pv_sigma_max: float = 0.0,
     wide_pose: bool = False,
     geometry_frac: float = 0.0,
+    geometry_scale: Tuple[float, float] = (0.70, 1.15),
 ) -> Dict[str, np.ndarray]:
     """Training batch from HU phantoms pseudo-labeled on device.
 
@@ -493,7 +497,8 @@ def phantom_batch(
         # geometry_slice_hu); streams with geometry_frac=0 are
         # bit-identical to before the flag existed (no extra rng draws)
         if geometry_frac and rng.random() < geometry_frac:
-            hu, body = geometry_slice_hu(rng, imgsz)
+            hu, body = geometry_slice_hu(rng, imgsz,
+                                         scale_range=geometry_scale)
         else:
             hu, body = thorax_phantom_hu(
                 rng, imgsz, rich=rich,
